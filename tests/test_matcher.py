@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detectorfreesfm_tpu.models.loftr import DetectorFreeMatcher, MatcherConfig
+from detectorfreesfm_tpu.ops import attention as A
+from detectorfreesfm_tpu.ops import dual_softmax as DS
+from detectorfreesfm_tpu.ops import dsnt
+from detectorfreesfm_tpu.ops import roi_align as RA
+
+
+def test_linear_attention_matches_full_for_uniform():
+    # With a single kv token, linear and full attention must both return v
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 5, 4, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 1, 4, 8)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 1, 4, 8)), jnp.float32)
+    out_lin = A.linear_attention(q, k, v)
+    out_full = A.full_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_lin), np.broadcast_to(np.asarray(v), out_lin.shape), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_full), np.broadcast_to(np.asarray(v), out_full.shape), atol=1e-4)
+
+
+def test_full_attention_mask():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 3, 2, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 6, 2, 4)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 6, 2, 4)), jnp.float32)
+    kv_mask = jnp.asarray([[True, True, False, False, False, False]])
+    out = A.full_attention(q, k, v, kv_mask=kv_mask)
+    out_ref = A.full_attention(q, k[:, :2], v[:, :2])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-5)
+
+
+def test_dual_softmax_identity_features():
+    rng = np.random.default_rng(2)
+    f = jnp.asarray(rng.normal(size=(1, 32, 16)), jnp.float32) * 3
+    conf = DS.dual_softmax_confidence(f, f)
+    mnn = DS.mutual_nearest_mask(conf)
+    # identity cells must be the mutual nearest neighbors
+    diag = np.asarray(mnn)[0][np.arange(32), np.arange(32)]
+    assert diag.all()
+
+
+def test_extract_topk_static_shape():
+    rng = np.random.default_rng(3)
+    conf = jnp.asarray(rng.uniform(size=(2, 10, 10)), jnp.float32) * 0.1
+    conf = conf.at[0, 3, 7].set(0.9)
+    conf = conf.at[1, 2, 2].set(0.8)
+    m = DS.extract_topk_matches(conf, threshold=0.5, k=4)
+    assert m.idx0.shape == (2, 4)
+    v = np.asarray(m.valid)
+    assert v[0].sum() == 1 and v[1].sum() == 1
+    assert (np.asarray(m.idx0)[0, 0], np.asarray(m.idx1)[0, 0]) == (3, 7)
+
+
+def test_dsnt_expectation():
+    heat = np.full((1, 7, 7), -50.0, np.float32)
+    heat[0, 2, 5] = 50.0  # delta at row 2, col 5
+    coords, std = dsnt.soft_argmax_refine(jnp.asarray(heat), normalized=False)
+    np.testing.assert_allclose(np.asarray(coords)[0], [5.0, 2.0], atol=1e-3)
+    assert np.asarray(std)[0] < 0.01
+
+
+def test_roi_align_constant_and_gradient_field():
+    # Bilinear sampling of a linear ramp must reproduce exact values
+    h, w = 16, 20
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    feat = np.stack([xs, ys], axis=-1)[None]  # (1, H, W, 2), f(x, y) = (x, y)
+    centers = jnp.asarray([[5.25, 7.75], [10.0, 3.5]], jnp.float32)
+    idx = jnp.asarray([0, 0], jnp.int32)
+    patches = RA.extract_patches(jnp.asarray(feat), centers, idx, patch_size=5)
+    p = np.asarray(patches)
+    # center sample equals the center coordinate
+    np.testing.assert_allclose(p[0, 2, 2], [5.25, 7.75], atol=1e-5)
+    np.testing.assert_allclose(p[1, 2, 2], [10.0, 3.5], atol=1e-5)
+    # unit spacing along the grid
+    np.testing.assert_allclose(p[0, 2, 3, 0] - p[0, 2, 2, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(p[0, 3, 2, 1] - p[0, 2, 2, 1], 1.0, atol=1e-5)
+
+
+def test_crop_and_resize_box_corners():
+    h, w = 12, 12
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    feat = np.stack([xs, ys], axis=-1)[None]
+    boxes = jnp.asarray([[2.0, 3.0, 8.0, 9.0]], jnp.float32)
+    out = RA.crop_and_resize(jnp.asarray(feat), boxes, jnp.asarray([0]), (4, 4))
+    o = np.asarray(out)
+    np.testing.assert_allclose(o[0, 0, 0], [2.0, 3.0], atol=1e-5)
+    np.testing.assert_allclose(o[0, -1, -1], [8.0, 9.0], atol=1e-5)
+
+
+@pytest.mark.parametrize("fine", [False, True])
+def test_matcher_self_match_identity(fine):
+    """Matching an image against itself: with identical features the
+    dual-softmax diagonal dominates, so all valid matches must be i == i."""
+    cfg = MatcherConfig(max_matches=64, fine_enabled=fine, match_threshold=0.1)
+    model = DetectorFreeMatcher(cfg)
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 64, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    out = model.apply(variables, img, img)
+    v = np.asarray(out.valid)[0]
+    assert out.coords0.shape == (1, 64, 2)
+    if v.any():
+        c0 = np.asarray(out.coords0)[0][v]
+        c1 = np.asarray(out.coords1)[0][v]
+        if not fine:
+            np.testing.assert_allclose(c0, c1, atol=1e-5)
+        else:
+            assert np.abs(c0 - c1).max() < 4.0  # subpixel stage may shift
+
+
+def test_matcher_jit_and_batch():
+    cfg = MatcherConfig(max_matches=32)
+    model = DetectorFreeMatcher(cfg)
+    rng = np.random.default_rng(5)
+    img0 = jnp.asarray(rng.uniform(size=(2, 64, 96, 1)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(size=(2, 64, 96, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img0, img1)
+    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
+    out = fwd(variables, img0, img1)
+    assert out.coords0.shape == (2, 32, 2)
+    assert np.asarray(out.conf).shape == (2, 32)
