@@ -1,0 +1,59 @@
+"""Benchmark: matched pairs/s for the detector-free coarse matcher.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: batch of image pairs at the demo bucket (832x832 padded frame,
+the reference demo config's img_resize 840 snapped to the /8 grid —
+hydra_configs/demo/dfsfm.yaml), full coarse forward (ResNetFPN backbone +
+4x(self,cross) linear-attention transformer + dual-softmax top-K extraction),
+bf16 on TPU. Baseline: the reference's LoFTR coarse-only matcher sustains
+~10 pairs/s at this resolution on one V100-class GPU (bs=1 loop,
+src/coarse_match/coarse_match_worker.py:86); vs_baseline = pairs_per_s / 10.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from detectorfreesfm_tpu.models.loftr import DetectorFreeMatcher, MatcherConfig
+
+BASELINE_PAIRS_PER_S = 10.0
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    size = 832 if on_tpu else 128
+    batch = 8 if on_tpu else 2
+    iters = 10 if on_tpu else 2
+    cfg = MatcherConfig(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        max_matches=2048 if on_tpu else 128,
+    )
+    model = DetectorFreeMatcher(cfg)
+    rng = jax.random.PRNGKey(0)
+    img0 = jax.random.uniform(rng, (batch, size, size, 1), jnp.float32)
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), img0.shape, jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), img0[:1], img1[:1])
+
+    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
+    jax.block_until_ready(fwd(params, img0, img1))  # compile + warm
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, img0, img1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pairs_per_s = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "coarse_matched_pairs_per_s" + ("" if on_tpu else "_cpu_smoke"),
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,7 @@ class DetectorFreeMatcher(nn.Module):
         valid_hw0=None,  # (B, 2) int (h, w) live region at full res, optional
         valid_hw1=None,
         train: bool = False,
+        return_conf: bool = False,  # also return the dense (B, L, S) conf
     ) -> MatchOutput:
         cfg = self.cfg
         b, h, wd = image0.shape[:3]
@@ -186,4 +187,7 @@ class DetectorFreeMatcher(nn.Module):
                 f0, f1, matches, (h8, w8)
             )
             xy1 = xy1 + delta
-        return MatchOutput(xy0, xy1, matches.conf, matches.valid)
+        out = MatchOutput(xy0, xy1, matches.conf, matches.valid)
+        if return_conf:
+            return out, conf
+        return out

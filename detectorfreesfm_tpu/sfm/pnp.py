@@ -1,0 +1,137 @@
+"""Absolute pose (PnP) via batched DLT RANSAC + Gauss-Newton polish.
+
+Replaces COLMAP's P3P/EPnP RANSAC absolute-pose registration (reference
+mapper thresholds `abs_pose_max_error`, hydra_configs/eth3d_sfm/dfsfm.yaml:105).
+TPU-first shape discipline as in twoview.py: fixed hypothesis count, padded
+correspondence arrays, no data-dependent control flow.
+
+Minimal sample is 6 (DLT) rather than 3 (P3P): quartic root-finding doesn't
+map to TPU-friendly batched linear algebra, while the 12x12 DLT normal
+eigendecomposition does; detector-free SfM feeds PnP hundreds-to-thousands of
+verified 2D-3D correspondences with high inlier ratios, where the larger
+sample costs a negligible number of extra hypotheses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
+
+
+class PnPResult(NamedTuple):
+    qvec: jax.Array       # (4,) world->cam
+    tvec: jax.Array       # (3,)
+    inliers: jax.Array    # (N,) bool
+    n_inliers: jax.Array  # () int32
+
+
+def _dlt_pose(X: jax.Array, x: jax.Array, w: jax.Array):
+    """Weighted DLT: (..., N, 3) world pts + (..., N, 2) normalized image
+    coords -> (..., 3, 3) R, (..., 3) t (projected to SO(3))."""
+    ones = jnp.ones_like(X[..., :1])
+    Xh = jnp.concatenate([X, ones], axis=-1)  # (..., N, 4)
+    zeros = jnp.zeros_like(Xh)
+    # Rows: [X 0 -u X ; 0 X -v X] for P = [R|t] (normalized camera)
+    r1 = jnp.concatenate([Xh, zeros, -x[..., 0:1] * Xh], axis=-1)  # (..., N, 12)
+    r2 = jnp.concatenate([zeros, Xh, -x[..., 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[..., :, 0].reshape(*X.shape[:-2], 3, 4)
+    # Resolve the overall sign so det(M) > 0: the true P = s[R|t] (s > 0,
+    # points in front) has det(M) = s^3 > 0; the mirrored -P has det < 0.
+    sign = jnp.sign(jnp.linalg.det(p[..., :3]))
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    p = p * sign[..., None, None]
+    R_raw, t_raw = p[..., :3], p[..., 3]
+    # Project M onto SO(3); det(M) > 0 makes det(U) det(Vt) = +1, so U Vt is
+    # a proper rotation and the scale is the mean singular value.
+    U, S, Vt = jnp.linalg.svd(R_raw)
+    R = U @ Vt
+    scale = jnp.sum(S, axis=-1) / 3.0
+    t = t_raw / jnp.maximum(scale[..., None], 1e-12)
+    return R, t
+
+
+def _reproj_err2(R, t, X, x):
+    """Squared reprojection error in normalized coords; behind-camera points
+    get +inf. R (..., 3, 3), t (..., 3), X/x (..., N, 3/2) -> (..., N)."""
+    Xc = jnp.einsum("...ij,...nj->...ni", R, X) + t[..., None, :]
+    z = Xc[..., 2]
+    uv = Xc[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-12, 1e-12, z[..., None])
+    err = jnp.sum((uv - x) ** 2, axis=-1)
+    return jnp.where(z > 1e-6, err, jnp.inf)
+
+
+def _gauss_newton_pose(R, t, X, x, w, iters: int = 10):
+    """Masked Gauss-Newton on the 6-dof pose (so3 ⊕ R^3), normalized coords."""
+
+    def residual(params, Xn, xn):
+        dw, dt = params[:3], params[3:]
+        Rc = so3_exp(dw) @ R
+        tc = t + dt
+        Xc = Xn @ Rc.T + tc
+        z = jnp.where(jnp.abs(Xc[..., 2:]) < 1e-9, 1e-9, Xc[..., 2:])
+        return ((Xc[..., :2] / z) - xn).reshape(-1)
+
+    params = jnp.zeros((6,), X.dtype)
+    ww = jnp.repeat(w, 2)
+
+    def step(_, params):
+        J = jax.jacfwd(residual)(params, X, x)       # (2N, 6)
+        r = residual(params, X, x)
+        JtJ = (J * ww[:, None]).T @ J + 1e-8 * jnp.eye(6, dtype=X.dtype)
+        Jtr = (J * ww[:, None]).T @ r
+        return params - jnp.linalg.solve(JtJ, Jtr)
+
+    params = jax.lax.fori_loop(0, iters, step, params)
+    return so3_exp(params[:3]) @ R, t + params[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_absolute_pose(
+    X: jax.Array,       # (N, 3) world points (padded)
+    x: jax.Array,       # (N, 2) normalized image coords
+    mask: jax.Array,    # (N,) bool
+    rng: jax.Array,
+    threshold: float,   # reprojection threshold (normalized coords)
+    n_hypotheses: int = 256,
+) -> PnPResult:
+    n = X.shape[0]
+    gumbel = jax.random.gumbel(rng, (n_hypotheses, n))
+    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, 6)
+    R_h, t_h = _dlt_pose(X[idx], x[idx], jnp.ones(idx.shape, X.dtype))
+    err = _reproj_err2(R_h, t_h, X[None], x[None])
+    inl = (err < threshold**2) & mask[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(counts)
+
+    # Polish on the best hypothesis' inliers, then refresh the inlier set
+    w_best = inl[best].astype(X.dtype)
+    R0, t0 = R_h[best], t_h[best]
+    R_ref, t_ref = _gauss_newton_pose(R0, t0, X, x, w_best)
+    err_ref = _reproj_err2(R_ref, t_ref, X, x)
+    inl_ref = (err_ref < threshold**2) & mask
+    use_ref = jnp.sum(inl_ref) >= counts[best]
+    R_fin = jnp.where(use_ref, R_ref, R0)
+    t_fin = jnp.where(use_ref, t_ref, t0)
+    inliers = jnp.where(use_ref, inl_ref, inl[best])
+    return PnPResult(
+        qvec=rotmat_to_quat(R_fin),
+        tvec=t_fin,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers.astype(jnp.int32)),
+    )
+
+
+def refine_pose(qvec, tvec, X, x, mask, iters: int = 10):
+    """Public pose polish used after registration (normalized coords)."""
+    R = quat_to_rotmat(qvec)
+    R2, t2 = _gauss_newton_pose(R, tvec, X, x, mask.astype(X.dtype), iters)
+    return rotmat_to_quat(R2), t2

@@ -1,0 +1,175 @@
+"""Two-view geometry: batched 8-point essential-matrix RANSAC + pose recovery.
+
+TPU-native replacement for COLMAP's two-view geometric verification and
+initial-pair pose estimation (reference call sites: hloc geometric
+verification inside coarse_SfM_runner, SURVEY.md §2.3). Design:
+
+  * RANSAC is a *fixed-iteration, fully batched* program: all H hypotheses
+    are sampled, solved (8-pt eigendecomposition of the 9x9 normal matrix),
+    and scored against all N correspondences in one einsum pipeline — no
+    data-dependent control flow, so one compilation serves every pair.
+  * Correspondence arrays are padded to a static N with a validity mask.
+  * Pose recovery: E -> 4 (R, t) candidates -> cheirality vote by midpoint
+    triangulation over all inliers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import rotmat_to_quat
+
+
+class TwoViewResult(NamedTuple):
+    E: jax.Array          # (3, 3) essential matrix (normalized coords)
+    qvec: jax.Array       # (4,) rotation cam0 -> cam1 (world = cam0 frame)
+    tvec: jax.Array       # (3,) unit-norm translation
+    inliers: jax.Array    # (N,) bool
+    n_inliers: jax.Array  # () int32
+
+
+def normalize_points(uv: jax.Array, K: jax.Array) -> jax.Array:
+    """Pixels -> unit-plane coordinates: x = (u - cx)/fx, y = (v - cy)/fy."""
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    cx, cy = K[..., 0, 2], K[..., 1, 2]
+    return jnp.stack(
+        [(uv[..., 0] - cx[..., None]) / fx[..., None],
+         (uv[..., 1] - cy[..., None]) / fy[..., None]],
+        axis=-1,
+    )
+
+
+def _eight_point(x0: jax.Array, x1: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted 8-point: (..., N, 2) correspondences -> (..., 3, 3) E.
+
+    Solves min ||A e|| via the smallest eigenvector of A^T A (9x9 symmetric
+    eigh — static-shape friendly on TPU), then projects to the essential
+    manifold (two equal singular values, third zero).
+    """
+    ones = jnp.ones_like(x0[..., :1])
+    p0 = jnp.concatenate([x0, ones], axis=-1)  # (..., N, 3)
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    # A rows: kron(p1, p0) so that p1^T E p0 = 0
+    A = (p1[..., :, None] * p0[..., None, :]).reshape(*x0.shape[:-1], 9)
+    A = A * w[..., None]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[..., :, 0]  # smallest eigenvalue's eigenvector
+    E = e.reshape(*e.shape[:-1], 3, 3)
+    # Project onto essential manifold
+    U, S, Vt = jnp.linalg.svd(E)
+    s = (S[..., 0] + S[..., 1]) * 0.5
+    S_new = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
+    return U @ (S_new[..., :, None] * Vt)
+
+
+def sampson_error(E: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
+    """Squared Sampson distance in normalized coords. E (..., 3, 3),
+    x0/x1 (..., N, 2) -> (..., N)."""
+    ones = jnp.ones_like(x0[..., :1])
+    p0 = jnp.concatenate([x0, ones], axis=-1)
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    Ep0 = jnp.einsum("...ij,...nj->...ni", E, p0)
+    Etp1 = jnp.einsum("...ji,...nj->...ni", E, p1)
+    num = jnp.einsum("...ni,...ni->...n", p1, Ep0) ** 2
+    den = (
+        Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2
+        + Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+def decompose_E(E: jax.Array):
+    """E -> ((R1, R2), t): the four candidate poses are (R_i, ±t)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Enforce proper rotations
+    det_u = jnp.linalg.det(U)
+    det_v = jnp.linalg.det(Vt)
+    U = U * jnp.stack([jnp.ones_like(det_u), jnp.ones_like(det_u), det_u], -1)[..., None, :]
+    Vt = Vt * jnp.stack([jnp.ones_like(det_v), jnp.ones_like(det_v), det_v], -1)[..., :, None]
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[..., :, 2]
+    return R1, R2, t
+
+
+def _cheirality_count(R, t, x0, x1, mask):
+    """Count correspondences with positive depth in both views under (R, t)
+    via the midpoint of the two viewing rays (camera0 at origin)."""
+    ones = jnp.ones_like(x0[..., :1])
+    d0 = jnp.concatenate([x0, ones], axis=-1)                 # rays in cam0
+    d1c0 = jnp.einsum("ji,nj->ni", R, jnp.concatenate([x1, ones], -1))
+    c1 = -R.T @ t                                             # cam1 center in cam0
+    # Solve [d0, -d1] [s; r] = c1 per correspondence (2x2 normal equations)
+    a = jnp.sum(d0 * d0, -1)
+    b = -jnp.sum(d0 * d1c0, -1)
+    c = jnp.sum(d1c0 * d1c0, -1)
+    e0 = jnp.sum(d0 * c1, -1)
+    e1 = -jnp.sum(d1c0 * c1, -1)
+    det = a * c - b * b
+    s = (c * e0 - b * e1) / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    r = (a * e1 - b * e0) / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    ok = (s > 1e-4) & (r > 1e-4) & mask
+    return jnp.sum(ok.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_relative_pose(
+    x0: jax.Array,      # (N, 2) normalized coords in view0 (padded)
+    x1: jax.Array,      # (N, 2) normalized coords in view1
+    mask: jax.Array,    # (N,) bool validity of the padded slots
+    rng: jax.Array,     # PRNG key
+    threshold: float,   # Sampson threshold in normalized coords
+    n_hypotheses: int = 512,
+) -> TwoViewResult:
+    """Batched-hypothesis essential RANSAC + cheirality pose recovery."""
+    n = x0.shape[0]
+    w_valid = mask.astype(jnp.float32)
+
+    # --- hypothesis generation: H x 8 random valid samples -----------------
+    # Sample indices proportional to the validity mask (invalid rows get -inf
+    # Gumbel scores, so they are never picked when >= 8 valid rows exist).
+    gumbel = jax.random.gumbel(rng, (n_hypotheses, n))
+    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, 8)                 # (H, 8)
+    s0 = x0[idx]                                       # (H, 8, 2)
+    s1 = x1[idx]
+    E_h = _eight_point(s0, s1, jnp.ones(idx.shape, jnp.float32))  # (H, 3, 3)
+
+    # --- scoring ------------------------------------------------------------
+    err = sampson_error(E_h, x0[None], x1[None])       # (H, N)
+    inl = (err < threshold**2) & mask[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(counts)
+    # Refit on the best hypothesis' inliers (weighted 8-point over all N)
+    w_best = inl[best].astype(jnp.float32)
+    E_refit = _eight_point(x0, x1, w_best * w_valid)
+    err_refit = sampson_error(E_refit, x0, x1)
+    inl_refit = (err_refit < threshold**2) & mask
+    # Keep whichever of {best hypothesis, refit} has more inliers
+    use_refit = jnp.sum(inl_refit) >= counts[best]
+    E_best = jnp.where(use_refit, E_refit, E_h[best])
+    inliers = jnp.where(use_refit, inl_refit, inl[best])
+
+    # --- pose recovery -------------------------------------------------------
+    R1, R2, t = decompose_E(E_best)
+    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+    votes = jnp.stack(
+        [_cheirality_count(R, tt, x0, x1, inliers) for R, tt in cands]
+    )
+    k = jnp.argmax(votes)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    R_best, t_best = Rs[k], ts[k]
+    return TwoViewResult(
+        E=E_best,
+        qvec=rotmat_to_quat(R_best),
+        tvec=t_best / jnp.maximum(jnp.linalg.norm(t_best), 1e-12),
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers.astype(jnp.int32)),
+    )
