@@ -143,22 +143,31 @@ def camera_center(qvec: jax.Array, tvec: jax.Array) -> jax.Array:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    k = w / theta
-    kx, ky, kz = jnp.moveaxis(k, -1, 0)
-    zero = jnp.zeros_like(kx)
-    K = jnp.stack(
-        [zero, -kz, ky, kz, zero, -kx, -ky, kx, zero], axis=-1
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation matrix.
+
+    Written on the *unnormalized* skew matrix W with Taylor fallbacks near
+    θ=0 so it is differentiable everywhere (BA/PnP take jacfwd at w=0; a
+    norm-based formulation has a NaN gradient at the origin). The unselected
+    jnp.where branch is evaluated with a substituted safe θ, keeping forward-
+    mode tangents finite.
+    """
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
+    A = jnp.where(
+        small, 1.0 - theta2 / 6.0, jnp.sin(theta_safe) / theta_safe
+    )
+    B = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta_safe)) / theta2_safe
+    )
+    wx, wy, wz = jnp.moveaxis(w, -1, 0)
+    zero = jnp.zeros_like(wx)
+    W = jnp.stack(
+        [zero, -wz, wy, wz, zero, -wx, -wy, wx, zero], axis=-1
     ).reshape(w.shape[:-1] + (3, 3))
-    th = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    # K is built from the *normalized* axis, so R = I + sin(θ) K + (1-cos(θ)) K².
-    # (Near θ=0, k = w/θ_clamped keeps sin(θ)·K ≈ W exact to first order.)
-    A = jnp.sin(th)
-    B = 1.0 - jnp.cos(th)
-    return eye + A * K + B * (K @ K)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye + A * W + B * (W @ W)
 
 
 def so3_log(R: jax.Array) -> jax.Array:

@@ -1,0 +1,347 @@
+"""Bundle adjustment: Schur-complement Levenberg-Marquardt, fully jitted.
+
+Replaces the reference's Ceres BA inside the COLMAP fork (the `mapper` /
+`incremental_model_refiner` hot loop — SURVEY.md §3.3/§3.4). TPU-first
+design:
+
+  * Static shapes everywhere: observations are padded (O,) arrays with a
+    validity mask; cameras and points are padded blocks. One compiled
+    program per (C, P, O, T_max) bucket serves every LM iteration.
+  * Per-observation 2x(7|3) Jacobians come from vmapped jacfwd of the
+    projection residual — exact derivatives, no hand-coded chain rule.
+  * The camera-block Schur complement S = U - W V^{-1} W^T is assembled by
+    regrouping observations into per-point padded tracks and scatter-adding
+    the (T x T) camera-pair outer products into a dense (C*7, C*7) system;
+    for C <= a few hundred a dense Cholesky on the MXU beats any sparse
+    solver. (Multi-host sharding of the point reduction rides the same
+    segment-sum structure — the obs arrays shard over "data".)
+  * Camera block = 6-dof pose ⊕ log-focal (7 params); the focal column is
+    masked out when intrinsics are fixed, so one program covers both modes.
+  * Gauge: `fixed_cams` masks whole camera blocks (identity rows in S), the
+    mapper fixes the two init images / the refiner's farthest pair
+    (reference write_fixed_images.py contract).
+  * Robustness: Huber weights re-evaluated each iteration (IRLS form).
+
+Scene normalization (centering + unit scale) is applied by the host wrapper
+to keep float32 well-conditioned; Ceres runs f64, we trade that for MXU f32
+throughput + normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
+
+CAM_DOF = 7  # 3 rot + 3 trans + 1 log-focal
+
+
+class BAProblem(NamedTuple):
+    """Static-shape BA problem. All arrays padded; masks mark live entries."""
+
+    cam_R: jax.Array        # (C, 3, 3) world->cam rotations
+    cam_t: jax.Array        # (C, 3)
+    intr: jax.Array         # (C, 4) fx, fy, cx, cy
+    points: jax.Array       # (P, 3)
+    obs_uv: jax.Array       # (O, 2) pixel observations
+    obs_cam: jax.Array      # (O,) int32
+    obs_pt: jax.Array       # (O,) int32
+    obs_mask: jax.Array     # (O,) bool
+    track_obs: jax.Array    # (P, T) int32 obs index per point (padded with O)
+    track_mask: jax.Array   # (P, T) bool
+    fixed_cams: jax.Array   # (C,) bool — gauge-fixed camera blocks
+    refine_focal: jax.Array # () bool
+
+
+class BAState(NamedTuple):
+    cam_R: jax.Array
+    cam_t: jax.Array
+    intr: jax.Array
+    points: jax.Array
+    lam: jax.Array   # LM damping
+    cost: jax.Array  # current robust cost
+
+
+def _proj(R, t, f_scale, intr, X):
+    """Project one world point. f_scale multiplies (fx, fy)."""
+    Xc = R @ X + t
+    z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
+    x, y = Xc[0] / z, Xc[1] / z
+    fx, fy, cx, cy = intr[0] * f_scale, intr[1] * f_scale, intr[2], intr[3]
+    return jnp.stack([fx * x + cx, fy * y + cy]), Xc[2]
+
+
+def _obs_residual(delta_cam, delta_pt, R0, t0, intr0, X0, uv):
+    """Residual as a function of the *local* update (7,) ⊕ (3,)."""
+    w, dt, dlf = delta_cam[:3], delta_cam[3:6], delta_cam[6]
+    R = so3_exp(w) @ R0
+    t = t0 + dt
+    f_scale = jnp.exp(dlf)
+    pred, _z = _proj(R, t, f_scale, intr0, X0 + delta_pt)
+    return pred - uv
+
+
+def _huber_weight(r2, delta):
+    """IRLS sqrt-weight for the Huber loss on squared residual norm r2."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    return jnp.where(r <= delta, 1.0, jnp.sqrt(delta / r))
+
+
+def _jacobians(prob: BAProblem):
+    """Per-observation residuals + Jacobians at the current state.
+
+    Returns r (O, 2), A (O, 2, 7), B (O, 2, 3), already masked and
+    Huber-weighted.
+    """
+    R0 = prob.cam_R[prob.obs_cam]
+    t0 = prob.cam_t[prob.obs_cam]
+    K0 = prob.intr[prob.obs_cam]
+    X0 = prob.points[prob.obs_pt]
+
+    zero_c = jnp.zeros((prob.obs_uv.shape[0], CAM_DOF), prob.points.dtype)
+    zero_p = jnp.zeros((prob.obs_uv.shape[0], 3), prob.points.dtype)
+
+    def res(dc, dp, R, t, K, X, uv):
+        return _obs_residual(dc, dp, R, t, K, X, uv)
+
+    r = jax.vmap(res)(zero_c, zero_p, R0, t0, K0, X0, prob.obs_uv)
+    A = jax.vmap(jax.jacfwd(res, argnums=0))(
+        zero_c, zero_p, R0, t0, K0, X0, prob.obs_uv
+    )
+    B = jax.vmap(jax.jacfwd(res, argnums=1))(
+        zero_c, zero_p, R0, t0, K0, X0, prob.obs_uv
+    )
+    return r, A, B
+
+
+def _weighted_system(prob: BAProblem, huber_delta: float):
+    r, A, B = _jacobians(prob)
+    w = _huber_weight(jnp.sum(r * r, -1), huber_delta)
+    w = w * prob.obs_mask.astype(w.dtype)
+    # Mask focal column when not refining, and whole blocks of fixed cameras
+    focal_on = prob.refine_focal.astype(A.dtype)
+    col_mask = jnp.concatenate(
+        [jnp.ones((6,), A.dtype), focal_on[None]], 0
+    )
+    A = A * col_mask[None, None, :]
+    free = 1.0 - prob.fixed_cams[prob.obs_cam].astype(A.dtype)
+    A = A * free[:, None, None]
+    rw = r * w[:, None]
+    Aw = A * w[:, None, None]
+    Bw = B * w[:, None, None]
+    return rw, Aw, Bw, w
+
+
+@functools.partial(jax.jit, static_argnames=("huber_delta",))
+def ba_cost(prob: BAProblem, huber_delta: float = 2.0) -> jax.Array:
+    """Total robust cost (Huber rho of pixel residuals) over live obs."""
+    R0 = prob.cam_R[prob.obs_cam]
+    t0 = prob.cam_t[prob.obs_cam]
+    K0 = prob.intr[prob.obs_cam]
+    X0 = prob.points[prob.obs_pt]
+    pred, _ = jax.vmap(lambda R, t, K, X: _proj(R, t, 1.0, K, X))(R0, t0, K0, X0)
+    r2 = jnp.sum((pred - prob.obs_uv) ** 2, -1)
+    d = huber_delta
+    rho = jnp.where(r2 <= d * d, r2, 2.0 * d * jnp.sqrt(jnp.maximum(r2, 1e-18)) - d * d)
+    return jnp.sum(rho * prob.obs_mask.astype(rho.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("huber_delta",))
+def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
+    """One damped Schur LM solve. Returns proposed (cam_R, cam_t, intr,
+    points) — acceptance is decided by the host loop via ba_cost."""
+    C = prob.cam_R.shape[0]
+    P = prob.points.shape[0]
+    dtype = prob.points.dtype
+    rw, Aw, Bw, _ = _weighted_system(prob, huber_delta)
+
+    # Per-camera U blocks and rhs
+    U = jax.ops.segment_sum(
+        jnp.einsum("oik,oil->okl", Aw, Aw), prob.obs_cam, num_segments=C
+    )
+    b_cam = jax.ops.segment_sum(
+        -jnp.einsum("oik,oi->ok", Aw, rw), prob.obs_cam, num_segments=C
+    )
+    V = jax.ops.segment_sum(
+        jnp.einsum("oik,oil->okl", Bw, Bw), prob.obs_pt, num_segments=P
+    )
+    b_pt = jax.ops.segment_sum(
+        -jnp.einsum("oik,oi->ok", Bw, rw), prob.obs_pt, num_segments=P
+    )
+
+    # LM damping (multiplicative on the diagonal, Ceres-style)
+    eyeC = jnp.eye(CAM_DOF, dtype=dtype)
+    eyeP = jnp.eye(3, dtype=dtype)
+    U = U + lam * (U * eyeC) + 1e-8 * eyeC
+    V = V + lam * (V * eyeP) + 1e-8 * eyeP
+    V_inv = jnp.linalg.inv(V)
+
+    # Per-obs W = A^T B, Y = W V^{-1}
+    W = jnp.einsum("oik,oil->okl", Aw, Bw)          # (O, 7, 3)
+    Y = jnp.einsum("okl,olm->okm", W, V_inv[prob.obs_pt])
+
+    # Reduced rhs: b̃_c = b_cam - sum_obs Y_o b_pt[pt(o)]
+    red = jax.ops.segment_sum(
+        jnp.einsum("okm,om->ok", Y, b_pt[prob.obs_pt]),
+        prob.obs_cam, num_segments=C,
+    )
+    b_red = b_cam - red
+
+    # Schur S: start from block-diag U, subtract per-point camera-pair terms.
+    # Regroup obs by point: track_obs (P, T) indexes into the obs arrays.
+    T = prob.track_obs.shape[1]
+    Wt = W[prob.track_obs] * prob.track_mask[..., None, None].astype(dtype)   # (P, T, 7, 3)
+    Yt = Y[prob.track_obs] * prob.track_mask[..., None, None].astype(dtype)
+    cams_t = prob.obs_cam[prob.track_obs]                                     # (P, T)
+    # (P, T, T, 7, 7) pairwise Y_i W_j^T
+    pair = jnp.einsum("ptkm,pslm->ptskl", Yt, Wt)
+    S = jnp.zeros((C, C, CAM_DOF, CAM_DOF), dtype)
+    idx_i = jnp.broadcast_to(cams_t[:, :, None], (P, T, T)).reshape(-1)
+    idx_j = jnp.broadcast_to(cams_t[:, None, :], (P, T, T)).reshape(-1)
+    S = S.at[idx_i, idx_j].add(pair.reshape(-1, CAM_DOF, CAM_DOF))
+    S = -S
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
+
+    # Fixed / empty camera blocks -> identity rows (keeps Cholesky SPD)
+    occupied = jax.ops.segment_sum(
+        prob.obs_mask.astype(dtype), prob.obs_cam, num_segments=C
+    ) > 0
+    free_blk = (~prob.fixed_cams) & occupied
+    free = free_blk.astype(dtype)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        (1.0 - free)[:, None, None] * jnp.eye(CAM_DOF, dtype=dtype)
+    )
+    b_red = b_red * free[:, None]
+
+    # Dense solve on the MXU
+    S_dense = S.transpose(0, 2, 1, 3).reshape(C * CAM_DOF, C * CAM_DOF)
+    delta_c = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S_dense), b_red.reshape(-1)
+    ).reshape(C, CAM_DOF)
+
+    # Back-substitute points: δX_p = V^{-1} (b_pt - Σ_o W_o^T δc_{cam(o)})
+    WtD = jax.ops.segment_sum(
+        jnp.einsum("okl,ok->ol", W, delta_c[prob.obs_cam]),
+        prob.obs_pt, num_segments=P,
+    )
+    delta_p = jnp.einsum("pkl,pl->pk", V_inv, b_pt - WtD)
+
+    # Apply updates
+    dR = so3_exp(delta_c[:, :3])
+    cam_R = dR @ prob.cam_R
+    cam_t = prob.cam_t + delta_c[:, 3:6]
+    f_scale = jnp.exp(delta_c[:, 6])
+    intr = prob.intr.at[:, 0].mul(f_scale).at[:, 1].mul(f_scale)
+    points = prob.points + delta_p
+    return cam_R, cam_t, intr, points
+
+
+def bundle_adjust(
+    qvec: np.ndarray,        # (C, 4)
+    tvec: np.ndarray,        # (C, 3)
+    intr: np.ndarray,        # (C, 4) fx, fy, cx, cy
+    points: np.ndarray,      # (P, 3)
+    obs_uv: np.ndarray,      # (O, 2)
+    obs_cam: np.ndarray,     # (O,)
+    obs_pt: np.ndarray,      # (O,)
+    fixed_cams: np.ndarray | None = None,
+    refine_focal: bool = False,
+    max_iters: int = 30,
+    huber_delta: float = 2.0,
+    max_track: int | None = None,
+    verbose: bool = False,
+):
+    """Host LM driver around the jitted Schur step.
+
+    Inputs are live (unpadded) numpy arrays; padding/bucketing happens here.
+    Returns (qvec, tvec, intr, points, final_cost_per_obs).
+    """
+    C, P, O = len(qvec), len(points), len(obs_uv)
+    if O == 0 or P == 0:
+        return qvec, tvec, intr, points, 0.0
+
+    # Scene normalization for f32 conditioning
+    center = points.mean(0)
+    scale = float(np.median(np.linalg.norm(points - center, axis=1)) + 1e-9)
+    pts_n = (points - center) / scale
+    # x_cam = R x_w + t ; with x_w = s*x_n + c: x_cam = s (R x_n + (R c + t)/s)
+    # → normalized pose t_n = (R c + t)/s, and pixels are scale-invariant.
+    R_all = np.asarray(quat_to_rotmat(jnp.asarray(qvec)), np.float64)
+    t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
+
+    # Build per-point padded track->obs table
+    order = np.argsort(obs_pt, kind="stable")
+    counts = np.bincount(obs_pt, minlength=P)
+    T = int(max_track or max(int(counts.max()), 2))
+    track_obs = np.full((P, T), O, np.int32)
+    track_mask = np.zeros((P, T), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for p in range(P):
+        c = min(counts[p], T)
+        track_obs[p, :c] = order[starts[p] : starts[p] + c]
+        track_mask[p, :c] = True
+
+    # Pad obs arrays by one dummy slot (index O used by padded track entries)
+    pad = lambda a, v: np.concatenate([a, np.full((1,) + a.shape[1:], v, a.dtype)])
+    dt = np.float32
+    prob = BAProblem(
+        cam_R=jnp.asarray(R_all, dt),
+        cam_t=jnp.asarray(t_n, dt),
+        intr=jnp.asarray(intr, dt),
+        points=jnp.asarray(pts_n, dt),
+        obs_uv=jnp.asarray(pad(obs_uv.astype(dt), 0.0)),
+        obs_cam=jnp.asarray(pad(obs_cam.astype(np.int32), 0)),
+        obs_pt=jnp.asarray(pad(obs_pt.astype(np.int32), 0)),
+        obs_mask=jnp.asarray(
+            np.concatenate([np.ones(O, bool), np.zeros(1, bool)])
+        ),
+        track_obs=jnp.asarray(track_obs),
+        track_mask=jnp.asarray(track_mask),
+        fixed_cams=jnp.asarray(
+            fixed_cams if fixed_cams is not None else np.zeros(C, bool)
+        ),
+        refine_focal=jnp.asarray(refine_focal),
+    )
+
+    lam = 1e-3
+    cost = float(ba_cost(prob, huber_delta))
+    for it in range(max_iters):
+        cam_R, cam_t, new_intr, new_pts = lm_step(
+            prob, jnp.asarray(lam, dt), huber_delta
+        )
+        cand = prob._replace(cam_R=cam_R, cam_t=cam_t, intr=new_intr, points=new_pts)
+        new_cost = float(ba_cost(cand, huber_delta))
+        if verbose:
+            print(f"  LM it {it}: cost {cost:.4f} -> {new_cost:.4f} lam {lam:.2e}")
+        if np.isfinite(new_cost) and new_cost < cost:
+            rel = (cost - new_cost) / max(cost, 1e-12)
+            prob = cand
+            cost = new_cost
+            lam = max(lam / 3.0, 1e-8)
+            if rel < 1e-6:
+                break
+        else:
+            lam = min(lam * 5.0, 1e6)
+            if lam >= 1e6:
+                break
+
+    # Denormalize
+    q_out = np.asarray(rotmat_to_quat(prob.cam_R))
+    R_out = np.asarray(prob.cam_R, np.float64)
+    t_out = np.asarray(prob.cam_t, np.float64) * scale - np.einsum(
+        "cij,j->ci", R_out, center
+    )
+    pts_out = np.asarray(prob.points, np.float64) * scale + center
+    return (
+        q_out.astype(np.float64),
+        t_out,
+        np.asarray(prob.intr, np.float64),
+        pts_out,
+        cost / max(O, 1),
+    )

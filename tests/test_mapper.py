@@ -1,0 +1,120 @@
+"""End-to-end incremental mapping on a synthetic multi-view scene."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from detectorfreesfm_tpu.core.geometry import (
+    quat_to_rotmat,
+    relative_pose,
+    rotation_angle_deg,
+    rotmat_to_quat,
+    translation_angle_deg,
+)
+from detectorfreesfm_tpu.sfm.mapper import IncrementalMapper, MapperConfig
+
+from test_sfm import _look_at_R
+
+
+def _multi_view_scene(n_cams=6, n_pts=400, seed=7, noise=0.4):
+    """Cameras on an arc looking at a 3D blob; every point observed by every
+    camera (minus a random visibility dropout)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.5, 1.5, (n_pts, 3)) + np.array([0, 0, 6.0])
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+    poses, uvs = [], []
+    for i in range(n_cams):
+        ang = (i - (n_cams - 1) / 2) * 0.35
+        eye = np.array([4.0 * np.sin(ang), 0.5 * np.sin(i), 6.0 - 4.0 * np.cos(ang)])
+        R = _look_at_R(eye, np.array([0, 0, 6.0]))
+        t = -R @ eye
+        Xc = pts @ R.T + t
+        uv = (Xc / Xc[:, 2:]) @ K.T
+        poses.append((R, t))
+        uvs.append(uv[:, :2] + rng.normal(0, noise, (n_pts, 2)))
+    visible = rng.uniform(size=(n_cams, n_pts)) > 0.25
+    # Points must stay in frame
+    for i in range(n_cams):
+        inb = (
+            (uvs[i][:, 0] > 0) & (uvs[i][:, 0] < 640)
+            & (uvs[i][:, 1] > 0) & (uvs[i][:, 1] < 480)
+        )
+        visible[i] &= inb
+    return pts, K, poses, uvs, visible
+
+
+def _scene_to_matches(n_cams, uvs, visible):
+    """Per-image keypoints = its visible points (shuffled); matches between
+    every image pair via shared point identity."""
+    rng = np.random.default_rng(11)
+    keypoints, kpt_of_pt = {}, {}
+    for i in range(n_cams):
+        ids = np.flatnonzero(visible[i])
+        perm = rng.permutation(len(ids))
+        keypoints[f"im{i:02d}"] = uvs[i][ids][perm].astype(np.float64)
+        inv = {int(ids[perm[k]]): k for k in range(len(ids))}
+        kpt_of_pt[i] = inv
+    matches = {}
+    for i in range(n_cams):
+        for j in range(i + 1, n_cams):
+            shared = np.flatnonzero(visible[i] & visible[j])
+            m = np.array(
+                [[kpt_of_pt[i][int(p)], kpt_of_pt[j][int(p)]] for p in shared],
+                np.int32,
+            ).reshape(-1, 2)
+            matches[(f"im{i:02d}", f"im{j:02d}")] = m
+    return keypoints, matches
+
+
+def test_incremental_mapping_known_intrinsics():
+    n_cams = 6
+    pts, K, poses, uvs, visible = _multi_view_scene(n_cams)
+    keypoints, matches = _scene_to_matches(n_cams, uvs, visible)
+    sizes = {n: (640, 480) for n in keypoints}
+    intrin = {n: K for n in keypoints}
+
+    cfg = MapperConfig(
+        geometry_verify_thr=4.0, init_max_error=4.0, abs_pose_max_error=4.0,
+        filter_max_reproj_error=4.0, min_model_size=3,
+        abs_pose_min_num_inliers=15,
+    )
+    rec = IncrementalMapper(cfg).run(keypoints, matches, sizes, intrin)
+    assert rec is not None
+    assert len(rec.registered_images) == n_cams, rec.registered_images
+    assert len(rec.points) > 150, len(rec.points)
+
+    # Pairwise relative-pose parity with ground truth (pose AUC protocol)
+    name_to_gt = {f"im{i:02d}": poses[i] for i in range(n_cams)}
+    errs_R, errs_t = [], []
+    ims = {im.name: im for im in rec.images.values()}
+    names = sorted(ims)
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            ia, ib = ims[names[a]], ims[names[b]]
+            q_rel, t_rel = relative_pose(
+                jnp.asarray(ia.qvec), jnp.asarray(ia.tvec),
+                jnp.asarray(ib.qvec), jnp.asarray(ib.tvec),
+            )
+            Ra, ta = name_to_gt[names[a]]
+            Rb, tb = name_to_gt[names[b]]
+            R_gt = Rb @ Ra.T
+            t_gt = tb - R_gt @ ta
+            dR = float(rotation_angle_deg(
+                jnp.asarray(np.asarray(quat_to_rotmat(q_rel)) @ R_gt.T)))
+            dT = float(translation_angle_deg(t_rel, jnp.asarray(t_gt)))
+            errs_R.append(dR)
+            errs_t.append(dT)
+    assert np.median(errs_R) < 0.5, (np.median(errs_R), np.max(errs_R))
+    assert np.median(errs_t) < 1.5, (np.median(errs_t), np.max(errs_t))
+
+
+def test_incremental_mapping_unknown_intrinsics():
+    """No intrinsics: focal prior + refine_focal BA must still register all."""
+    n_cams = 6
+    pts, K, poses, uvs, visible = _multi_view_scene(n_cams, seed=9)
+    keypoints, matches = _scene_to_matches(n_cams, uvs, visible)
+    sizes = {n: (640, 480) for n in keypoints}
+    cfg = MapperConfig(refine_focal=True, abs_pose_min_num_inliers=15)
+    rec = IncrementalMapper(cfg).run(keypoints, matches, sizes, None)
+    assert rec is not None
+    assert len(rec.registered_images) >= n_cams - 1
+    assert len(rec.points) > 100

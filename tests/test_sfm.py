@@ -1,0 +1,157 @@
+"""SfM component tests on synthetic scenes: two-view RANSAC, PnP, tracks, BA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectorfreesfm_tpu.core.geometry import (
+    quat_to_rotmat,
+    rotation_angle_deg,
+    translation_angle_deg,
+)
+from detectorfreesfm_tpu.sfm.ba import bundle_adjust
+from detectorfreesfm_tpu.sfm.pnp import estimate_absolute_pose
+from detectorfreesfm_tpu.sfm.tracks import build_tracks
+from detectorfreesfm_tpu.sfm.twoview import estimate_relative_pose, normalize_points
+
+
+def _look_at_R(eye, target):
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, -1.0, 0.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z])  # rows = camera axes -> world->cam rotation
+
+
+def _synthetic_scene(n_cams=4, n_pts=200, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1.0, 1.0, (n_pts, 3)) + np.array([0, 0, 5.0])
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    Rs, ts, uvs = [], [], []
+    for i in range(n_cams):
+        ang = (i - (n_cams - 1) / 2) * 0.25
+        eye = np.array([3.0 * np.sin(ang), 0.3 * i, 5.0 - 3.0 * np.cos(ang) + 0.0])
+        R = _look_at_R(eye, np.array([0, 0, 5.0]))
+        t = -R @ eye
+        Xc = pts @ R.T + t
+        uv = (Xc / Xc[:, 2:]) @ K.T
+        Rs.append(R)
+        ts.append(t)
+        uvs.append(uv[:, :2])
+    return pts, K, Rs, ts, uvs
+
+
+def test_twoview_ransac_recovers_relative_pose():
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=2, n_pts=300)
+    rng = np.random.default_rng(1)
+    uv0 = uvs[0] + rng.normal(0, 0.3, uvs[0].shape)
+    uv1 = uvs[1] + rng.normal(0, 0.3, uvs[1].shape)
+    # 25% outliers
+    n_out = 75
+    uv1[:n_out] = rng.uniform(0, 640, (n_out, 2))
+    Kj = jnp.asarray(K)
+    x0 = normalize_points(jnp.asarray(uv0), Kj)
+    x1 = normalize_points(jnp.asarray(uv1), Kj)
+    mask = jnp.ones(len(uv0), bool)
+    res = estimate_relative_pose(
+        x0, x1, mask, jax.random.PRNGKey(0), threshold=2.0 / 500.0
+    )
+    R_gt = Rs[1] @ Rs[0].T
+    t_gt = ts[1] - R_gt @ ts[0]
+    R_est = np.asarray(quat_to_rotmat(res.qvec))
+    dR = float(rotation_angle_deg(jnp.asarray(R_est @ R_gt.T)))
+    dT = float(translation_angle_deg(jnp.asarray(res.tvec), jnp.asarray(t_gt)))
+    assert int(res.n_inliers) > 180, int(res.n_inliers)
+    assert dR < 1.0, dR
+    assert dT < 2.0, dT
+
+
+def test_pnp_recovers_absolute_pose():
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=1, n_pts=250)
+    rng = np.random.default_rng(2)
+    uv = uvs[0] + rng.normal(0, 0.3, uvs[0].shape)
+    uv[:60] = rng.uniform(0, 640, (60, 2))  # 24% outliers
+    x = normalize_points(jnp.asarray(uv), jnp.asarray(K))
+    res = estimate_absolute_pose(
+        jnp.asarray(pts), x, jnp.ones(len(pts), bool),
+        jax.random.PRNGKey(1), threshold=2.0 / 500.0,
+    )
+    R_est = np.asarray(quat_to_rotmat(res.qvec))
+    dR = float(rotation_angle_deg(jnp.asarray(R_est @ Rs[0].T)))
+    dt = np.linalg.norm(np.asarray(res.tvec) - ts[0])
+    assert int(res.n_inliers) > 150
+    assert dR < 0.5, dR
+    assert dt < 0.05, dt
+
+
+def test_build_tracks_union_find():
+    n_kpts = {0: 3, 1: 3, 2: 3}
+    matches = {
+        (0, 1): np.array([[0, 0], [1, 1]]),
+        (1, 2): np.array([[0, 0], [2, 2]]),
+        (0, 2): np.array([[0, 0]]),
+    }
+    tracks = build_tracks(n_kpts, matches)
+    # Track A: (0,0)-(1,0)-(2,0); Track B: (0,1)-(1,1); Track C: (1,2)-(2,2)
+    assert len(tracks) == 3
+    lens = sorted(len(t) for t in tracks)
+    assert lens == [2, 2, 3]
+    big = max(tracks, key=len)
+    assert big.observations == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_build_tracks_drops_intra_image_conflicts():
+    n_kpts = {0: 2, 1: 1}
+    # Both kpt 0 and kpt 1 of image 0 match kpt 0 of image 1 -> conflict
+    matches = {(0, 1): np.array([[0, 0], [1, 0]])}
+    tracks = build_tracks(n_kpts, matches)
+    assert tracks == [] or all(
+        len({im for im, _ in t.observations}) == len(t.observations) for t in tracks
+    )
+
+
+def test_bundle_adjustment_reduces_reprojection_error():
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=5, n_pts=150, seed=3)
+    rng = np.random.default_rng(4)
+    C, P = 5, 150
+    # Perturb everything except the two gauge cameras
+    q = np.stack([np.asarray(jnp.asarray(R)) for R in Rs])
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat, so3_exp
+
+    qvec = np.array(rotmat_to_quat(jnp.asarray(q)))
+    tvec = np.stack(ts)
+    for i in range(2, C):
+        dR = np.asarray(so3_exp(jnp.asarray(rng.normal(0, 0.01, 3))))
+        Ri = dR @ np.asarray(quat_to_rotmat(jnp.asarray(qvec[i])))
+        qvec[i] = np.asarray(rotmat_to_quat(jnp.asarray(Ri)))
+        tvec[i] = tvec[i] + rng.normal(0, 0.05, 3)
+    pts_noisy = pts + rng.normal(0, 0.03, pts.shape)
+
+    obs_uv = np.concatenate(uvs)                      # perfect observations
+    obs_cam = np.repeat(np.arange(C), P)
+    obs_pt = np.tile(np.arange(P), C)
+    intr = np.tile(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), (C, 1))
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+
+    q2, t2, intr2, pts2, cost = bundle_adjust(
+        qvec, tvec, intr, pts_noisy, obs_uv, obs_cam, obs_pt,
+        fixed_cams=fixed, max_iters=25,
+    )
+
+    # Final mean reprojection error should be tiny (noise-free observations)
+    def mean_err(q, t, X):
+        errs = []
+        for i in range(C):
+            R = np.asarray(quat_to_rotmat(jnp.asarray(q[i])))
+            Xc = X @ R.T + t[i]
+            uv = (Xc / Xc[:, 2:]) @ K.T
+            errs.append(np.linalg.norm(uv[:, :2] - uvs[i], axis=1))
+        return float(np.mean(np.concatenate(errs)))
+
+    e_before = mean_err(qvec, tvec, pts_noisy)
+    e_after = mean_err(q2, t2, pts2)
+    assert e_before > 2.0, e_before  # the perturbation was real
+    assert e_after < 0.3, (e_before, e_after)
