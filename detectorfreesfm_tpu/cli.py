@@ -1,0 +1,178 @@
+"""Command-line entry: reconstruct scenes / evaluate datasets.
+
+Covers the reference's eval_dataset.py CLI surface in plain argparse (one
+config system instead of the reference's hydra + yacs + inline-dict trio —
+SURVEY.md §5 "Config / flag system" wart):
+
+  python -m detectorfreesfm_tpu.cli reconstruct --images DIR --output DIR
+  python -m detectorfreesfm_tpu.cli eval-dataset --dataset DIR --output DIR
+
+Dataset layout (reference tools/parse_data contract): each scene dir holds
+images/ [+ poses/{img}.txt 4x4 w2c] [+ intrins/{img}.txt 3x3 K].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_scene_gt(scene_dir: str):
+    poses_dir = os.path.join(scene_dir, "poses")
+    intrin_dir = os.path.join(scene_dir, "intrins")
+    poses = None
+    intrins = None
+    if os.path.isdir(poses_dir):
+        from .pipeline import read_pose_txt
+
+        poses = {}
+        for f in sorted(os.listdir(poses_dir)):
+            if f.endswith(".txt"):
+                name = os.path.splitext(f)[0]
+                poses[name] = read_pose_txt(os.path.join(poses_dir, f))
+    if os.path.isdir(intrin_dir):
+        from .pipeline import read_intrin_txt
+
+        intrins = {}
+        for f in sorted(os.listdir(intrin_dir)):
+            if f.endswith(".txt"):
+                name = os.path.splitext(f)[0]
+                intrins[name] = read_intrin_txt(os.path.join(intrin_dir, f))
+    return poses, intrins
+
+
+def _match_gt_names(gt: dict, image_names) -> dict:
+    """GT files are keyed by stem; remap to actual image filenames."""
+    if gt is None:
+        return None
+    stem = {os.path.splitext(n)[0]: n for n in image_names}
+    out = {}
+    for k, v in gt.items():
+        if k in stem:
+            out[stem[k]] = v
+        elif k in image_names:
+            out[k] = v
+    return out or None
+
+
+def cmd_reconstruct(args) -> int:
+    from .pipeline import (
+        PipelineConfig, evaluate_scene_poses, list_scene_images,
+        reconstruct_scene,
+    )
+    from .sfm.mapper import MapperConfig
+
+    cfg = PipelineConfig(
+        img_resize=args.img_resize,
+        match_threshold=args.match_threshold,
+        n_refine_iters=args.refine_iters,
+        triangulation_mode=args.triangulation,
+        pair_mode=args.pair_mode,
+        n_images=args.n_images,
+        redo_matching=args.redo,
+        redo_sfm=args.redo,
+        redo_refine=args.redo,
+        compute_dtype=args.dtype,
+        mapper=MapperConfig(
+            refine_focal=not args.known_intrinsics,
+            min_model_size=args.min_model_size,
+        ),
+    )
+    scene = args.scene or args.images
+    image_dir = args.images or os.path.join(scene, "images")
+    names = list_scene_images(image_dir, cfg.n_images)
+    poses, intrins = _load_scene_gt(scene) if args.scene else (None, None)
+    poses = _match_gt_names(poses, names)
+    intrins = _match_gt_names(intrins, names)
+
+    rec = reconstruct_scene(
+        image_dir, args.output, cfg,
+        intrinsics=intrins,
+        poses=poses if args.triangulation else None,
+        verbose=args.verbose,
+    )
+    if rec is None:
+        print(json.dumps({"status": "failed"}))
+        return 1
+    result = {
+        "status": "ok",
+        "n_registered": len(rec.registered_images),
+        "n_images": len(rec.images),
+        "n_points": len(rec.points),
+        "n_observations": rec.n_observations(),
+    }
+    if poses:
+        result["pose_auc"] = evaluate_scene_poses(rec, poses)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_eval_dataset(args) -> int:
+    scenes = sorted(
+        d for d in os.listdir(args.dataset)
+        if os.path.isdir(os.path.join(args.dataset, d, "images"))
+    )
+    if args.n_scenes:
+        scenes = scenes[: args.n_scenes]
+    all_metrics = {}
+    for s in scenes:
+        ns = argparse.Namespace(**vars(args))
+        ns.scene = os.path.join(args.dataset, s)
+        ns.images = None
+        ns.output = os.path.join(args.output, s)
+        print(f"=== scene {s} ===", file=sys.stderr)
+        try:
+            cmd_reconstruct(ns)
+            out_json = None  # metrics printed per scene by cmd_reconstruct
+        except Exception as e:  # scene isolation, reference eval_dataset.py:88
+            print(f"scene {s} failed: {e}", file=sys.stderr)
+        all_metrics[s] = out_json
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="detectorfreesfm_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--img-resize", type=int, default=832, dest="img_resize")
+        sp.add_argument("--match-threshold", type=float, default=0.2,
+                        dest="match_threshold")
+        sp.add_argument("--refine-iters", type=int, default=2, dest="refine_iters")
+        sp.add_argument("--triangulation", action="store_true")
+        sp.add_argument("--pair-mode", default="exhaustive", dest="pair_mode",
+                        choices=["exhaustive", "sequential"])
+        sp.add_argument("--n-images", type=int, default=None, dest="n_images")
+        sp.add_argument("--min-model-size", type=int, default=3,
+                        dest="min_model_size")
+        sp.add_argument("--known-intrinsics", action="store_true",
+                        dest="known_intrinsics")
+        sp.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+        sp.add_argument("--redo", action="store_true")
+        sp.add_argument("--verbose", action="store_true")
+
+    sr = sub.add_parser("reconstruct", help="reconstruct one scene")
+    sr.add_argument("--images", default=None, help="image directory")
+    sr.add_argument("--scene", default=None,
+                    help="scene dir with images/ [poses/ intrins/]")
+    add_common(sr)
+    sr.set_defaults(fn=cmd_reconstruct)
+
+    se = sub.add_parser("eval-dataset", help="reconstruct + eval all scenes")
+    se.add_argument("--dataset", required=True)
+    se.add_argument("--n-scenes", type=int, default=None, dest="n_scenes")
+    add_common(se)
+    se.set_defaults(fn=cmd_eval_dataset)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

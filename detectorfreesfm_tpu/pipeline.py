@@ -1,0 +1,329 @@
+"""Scene reconstruction pipeline: match -> SfM -> refine -> evaluate.
+
+Covers the reference's per-scene driver + dataset CLI
+(src/detectorfree_sfm.py:10-213, eval_dataset.py:34-195): stage artifacts are
+persisted under the output dir and stages are skipped when their outputs
+exist (redo_* flags force re-runs), so scenes are resumable. Two modes:
+
+  * from-scratch SfM: coarse matching -> incremental mapper -> iterative
+    multiview refinement;
+  * triangulation (known poses): poses/intrinsics come from txt dirs
+    (generate_empty.py contract: {img}.txt 4x4 w2c or c2w), cameras stay
+    fixed and only structure is estimated + refined.
+
+Scene-level parallelism (the reference's Ray fan-out at 1 GPU/scene) maps to
+running this driver per host process; within a scene, pair matching and
+refinement batches shard over the local device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .data import colmap_io
+from .data.h5io import load_h5, save_h5
+from .data.images import load_gray
+from .eval.pose_auc import DEFAULT_THRESHOLDS, pose_auc
+from .match.engine import EngineConfig, PairMatchingEngine
+from .match.pairs import exhaustive_pairs, sequential_pairs
+from .refine.loop import RefineConfig, refine_reconstruction
+from .sfm.mapper import IncrementalMapper, MapperConfig
+from .sfm.reconstruction import Reconstruction, RImage
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    # matching
+    img_resize: int = 832
+    match_threshold: float = 0.2
+    max_matches: int = 2048
+    round_matches_ratio: Optional[int] = None
+    batch_size: int = 1
+    compute_dtype: str = "float32"
+    # sfm
+    mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+    # refinement
+    refine: RefineConfig = dataclasses.field(default_factory=RefineConfig)
+    n_refine_iters: int = 2
+    # pairs
+    pair_mode: str = "exhaustive"  # or "sequential"
+    sequential_window: int = 10
+    # stage control
+    redo_matching: bool = False
+    redo_sfm: bool = False
+    redo_refine: bool = False
+    triangulation_mode: bool = False
+    n_images: Optional[int] = None  # debug clamp (reference base.yaml:33)
+
+
+def list_scene_images(image_dir: str, n_images: Optional[int] = None) -> List[str]:
+    names = sorted(
+        f for f in os.listdir(image_dir)
+        if f.lower().endswith(IMG_EXTS)
+    )
+    if n_images:
+        # Even subsample, like the reference's down_sample_ratio clamp
+        idx = np.linspace(0, len(names) - 1, n_images).astype(int)
+        names = [names[i] for i in sorted(set(idx.tolist()))]
+    return names
+
+
+def read_pose_txt(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """4x4 matrix txt -> (qvec, tvec) world-to-camera (auto-detects c2w by
+    checking which interpretation is a valid rigid transform is impossible;
+    we follow the reference's convention flag: file stores w2c)."""
+    import jax.numpy as jnp
+
+    from .core.geometry import rotmat_to_quat
+
+    m = np.loadtxt(path).reshape(4, 4)
+    R, t = m[:3, :3], m[:3, 3]
+    return np.asarray(rotmat_to_quat(jnp.asarray(R))), t
+
+
+def read_intrin_txt(path: str) -> np.ndarray:
+    vals = np.loadtxt(path)
+    return vals.reshape(3, 3) if vals.size == 9 else vals
+
+
+def _match_stage(
+    cfg: PipelineConfig, image_dir: str, names: List[str], out_dir: str,
+    engine: Optional[PairMatchingEngine] = None,
+):
+    kp_path = os.path.join(out_dir, "keypoints.h5")
+    mt_path = os.path.join(out_dir, "matches.h5")
+    if (not cfg.redo_matching and os.path.exists(kp_path)
+            and os.path.exists(mt_path)):
+        kps = load_h5(kp_path)
+        raw = load_h5(mt_path)
+        matches = {}
+        for key, arr in raw.items():
+            a, b = key.split("|")
+            matches[(a, b)] = arr.astype(np.int32)
+        return {k: v for k, v in kps.items()}, matches
+
+    if engine is None:
+        engine = PairMatchingEngine(EngineConfig(
+            img_resize=cfg.img_resize, match_threshold=cfg.match_threshold,
+            max_matches=cfg.max_matches, batch_size=cfg.batch_size,
+            round_matches_ratio=cfg.round_matches_ratio,
+            compute_dtype=cfg.compute_dtype,
+        ))
+    pairs = (
+        exhaustive_pairs(names) if cfg.pair_mode == "exhaustive"
+        else sequential_pairs(names, cfg.sequential_window)
+    )
+    paths = {n: os.path.join(image_dir, n) for n in names}
+    keypoints, _scores, match_indices, _raw = engine.match_scene(pairs, paths)
+    os.makedirs(out_dir, exist_ok=True)
+    save_h5(keypoints, kp_path)
+    save_h5({f"{a}|{b}": v for (a, b), v in match_indices.items()}, mt_path)
+    return keypoints, match_indices
+
+
+def _image_sizes(image_dir: str, names: List[str]) -> Dict[str, tuple]:
+    from PIL import Image as PILImage
+
+    out = {}
+    for n in names:
+        with PILImage.open(os.path.join(image_dir, n)) as im:
+            out[n] = im.size  # (W, H)
+    return out
+
+
+def reconstruct_scene(
+    image_dir: str,
+    output_dir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    intrinsics: Optional[Dict[str, np.ndarray]] = None,
+    poses: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None,
+    matcher_params=None,
+    refiner_params=None,
+    verbose: bool = False,
+) -> Optional[Reconstruction]:
+    """Full pipeline for one scene. Returns the refined Reconstruction (and
+    writes colmap_coarse/ + colmap_refined/ under output_dir)."""
+    os.makedirs(output_dir, exist_ok=True)
+    names = list_scene_images(image_dir, cfg.n_images)
+    if len(names) < 2:
+        return None
+    sizes = _image_sizes(image_dir, names)
+
+    engine = None
+    if matcher_params is not None:
+        engine = PairMatchingEngine(EngineConfig(
+            img_resize=cfg.img_resize, match_threshold=cfg.match_threshold,
+            max_matches=cfg.max_matches, batch_size=cfg.batch_size,
+            round_matches_ratio=cfg.round_matches_ratio,
+            compute_dtype=cfg.compute_dtype,
+        ), params=matcher_params)
+    keypoints, match_indices = _match_stage(
+        cfg, image_dir, names, output_dir, engine
+    )
+
+    coarse_dir = os.path.join(output_dir, "colmap_coarse")
+    mapper = IncrementalMapper(cfg.mapper)
+    if not cfg.redo_sfm and os.path.isdir(coarse_dir) and os.listdir(coarse_dir):
+        cams, imgs, pts = colmap_io.read_model(coarse_dir)
+        rec = Reconstruction.from_colmap(cams, imgs, pts)
+        mapper.names = sorted(keypoints)
+        mapper.name_to_id = {im.name: i for i, im in rec.images.items()}
+        _rebuild_mapper_tracks(mapper, rec, keypoints, match_indices)
+    elif cfg.triangulation_mode:
+        if poses is None:
+            raise ValueError("triangulation_mode requires poses")
+        rec = _triangulate_known_poses(
+            mapper, keypoints, match_indices, sizes, intrinsics, poses
+        )
+    else:
+        rec = mapper.run(
+            keypoints, match_indices, sizes, intrinsics, verbose=verbose
+        )
+    if rec is None:
+        return None
+    os.makedirs(coarse_dir, exist_ok=True)
+    rec.write(coarse_dir)
+
+    # Refinement
+    refined_dir = os.path.join(output_dir, "colmap_refined")
+    if cfg.n_refine_iters > 0:
+        images_by_id = {}
+        for img_id, im in rec.images.items():
+            li = load_gray(
+                os.path.join(image_dir, im.name),
+                long_side=cfg.img_resize, pad_to=cfg.img_resize,
+            )
+            # refinement runs at network resolution; rescale kpts to it
+            images_by_id[img_id] = li.data
+            im.xys = im.xys / li.scale[None, :]
+        rcfg = dataclasses.replace(cfg.refine, n_iters=cfg.n_refine_iters)
+        refine_reconstruction(
+            rec, images_by_id, params=refiner_params, cfg=rcfg,
+            mapper=mapper, verbose=verbose,
+        )
+        # back to original pixels
+        for img_id, im in rec.images.items():
+            li_scale = load_gray(
+                os.path.join(image_dir, im.name),
+                long_side=cfg.img_resize, pad_to=cfg.img_resize,
+            ).scale
+            im.xys = im.xys * li_scale[None, :]
+    os.makedirs(refined_dir, exist_ok=True)
+    rec.write(refined_dir)
+    return rec
+
+
+def _rebuild_mapper_tracks(mapper, rec, keypoints, match_indices):
+    """Restore the mapper's track bookkeeping from a loaded model (for
+    resume: re-registration needs kpt->track maps)."""
+    from .sfm.tracks import build_tracks
+
+    n_kpts = {mapper.name_to_id[n]: len(keypoints[n]) for n in mapper.names
+              if n in mapper.name_to_id}
+    vm = {
+        (mapper.name_to_id[a], mapper.name_to_id[b]): m
+        for (a, b), m in match_indices.items()
+        if a in mapper.name_to_id and b in mapper.name_to_id
+    }
+    tracks = build_tracks(n_kpts, vm)
+    mapper.tracks = tracks
+    mapper.track_pid = np.full(len(tracks), -1, np.int64)
+    mapper.kpt_track = {}
+    for tid, t in enumerate(tracks):
+        for (img_id, kpt) in t.observations:
+            mapper.kpt_track.setdefault(img_id, {})[kpt] = tid
+    for pid, pt in rec.points.items():
+        for (img_id, kpt) in pt["track"]:
+            tid = mapper.kpt_track.get(img_id, {}).get(kpt)
+            if tid is not None:
+                mapper.track_pid[tid] = pid
+
+
+def _triangulate_known_poses(
+    mapper: IncrementalMapper, keypoints, match_indices, sizes,
+    intrinsics, poses,
+) -> Optional[Reconstruction]:
+    """Known-pose triangulation (reference coarse_sfm_runner.py:74-84 +
+    point_triangulator): fix all cameras, verify pairs, build tracks,
+    triangulate, BA structure-only, filter."""
+    cfg = mapper.cfg
+    rec = mapper._setup(keypoints, sizes, intrinsics)
+    for n, (q, t) in poses.items():
+        if n in mapper.name_to_id:
+            rec.set_pose(mapper.name_to_id[n], q, t)
+    verified = mapper.verify_pairs(rec, match_indices)
+    if not verified:
+        return None
+    from .sfm.tracks import build_tracks
+
+    n_kpts = {mapper.name_to_id[n]: len(keypoints[n]) for n in mapper.names}
+    vm = {pair: v["matches"] for pair, v in verified.items()}
+    tracks = build_tracks(n_kpts, vm)
+    mapper.tracks = tracks
+    mapper.track_pid = np.full(len(tracks), -1, np.int64)
+    mapper.kpt_track = {}
+    for tid, t in enumerate(tracks):
+        for (img_id, kpt) in t.observations:
+            mapper.kpt_track.setdefault(img_id, {})[kpt] = tid
+    tri = mapper._triangulate_tracks(
+        rec, tracks, range(len(tracks)),
+        cfg.min_tri_angle_deg, cfg.filter_max_reproj_error,
+    )
+    for tid, (xyz, obs) in tri.items():
+        pid = rec.add_point(xyz, obs)
+        if pid >= 0:
+            mapper.track_pid[tid] = pid
+    # Structure-only BA: every camera fixed
+    mapper.global_ba(rec, fixed_ids=set(rec.registered_images))
+    mapper.filter_points(rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Evaluation entry (pose AUC protocol, reference evaluator.py:119-354)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_scene_poses(
+    rec: Reconstruction,
+    gt_poses: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    thresholds=DEFAULT_THRESHOLDS,
+) -> Dict[str, float]:
+    import jax.numpy as jnp
+
+    from .core.geometry import (
+        quat_to_rotmat, relative_pose, rotation_angle_deg, translation_angle_deg,
+    )
+
+    names = sorted(gt_poses)
+    est = {im.name: im for im in rec.images.values() if im.registered}
+    errs = []
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            na, nb = names[a], names[b]
+            if na not in est or nb not in est:
+                errs.append(np.inf)  # unregistered -> infinite error
+                continue
+            ia, ib = est[na], est[nb]
+            q_rel, t_rel = relative_pose(
+                jnp.asarray(ia.qvec), jnp.asarray(ia.tvec),
+                jnp.asarray(ib.qvec), jnp.asarray(ib.tvec),
+            )
+            qa, ta = gt_poses[na]
+            qb, tb = gt_poses[nb]
+            qg, tg = relative_pose(
+                jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qb), jnp.asarray(tb)
+            )
+            dR = float(rotation_angle_deg(
+                quat_to_rotmat(q_rel) @ jnp.swapaxes(quat_to_rotmat(qg), -1, -2)
+            ))
+            dT = float(translation_angle_deg(t_rel, tg))
+            errs.append(max(dR, dT))
+    aucs = pose_auc(np.asarray(errs), thresholds)
+    return {f"auc@{t}": a for t, a in zip(thresholds, aucs)}
