@@ -134,6 +134,61 @@ def cmd_eval_dataset(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train the multiview refiner on MegaDepth-style scene indexes
+    (reference train_multiview_matcher.py surface)."""
+    import glob
+
+    import jax
+
+    from .data.megadepth import (
+        MegaDepthTupleDataset, SceneBalancedSampler, collate,
+        load_scene_index, shard_scenes,
+    )
+    from .train.optimizers import OptimConfig
+    from .train.trainer import TrainConfig, Trainer
+
+    scene_files = sorted(glob.glob(os.path.join(args.data, "*.npz")))
+    if not scene_files:
+        print("no scene index files found", file=sys.stderr)
+        return 1
+    scene_files = shard_scenes(
+        scene_files, jax.process_index(), jax.process_count()
+    )
+    datasets = [
+        MegaDepthTupleDataset(load_scene_index(p), img_size=args.img_resize)
+        for p in scene_files
+    ]
+    sampler = SceneBalancedSampler(
+        [len(d) for d in datasets], n_per_scene=args.samples_per_scene
+    )
+    cfg = TrainConfig(optim=OptimConfig(
+        true_batch_size=args.batch_size * jax.process_count(),
+    ))
+    trainer = Trainer(cfg)
+    state = None
+    rng = jax.random.PRNGKey(cfg.seed)
+    step = 0
+    for epoch in range(args.epochs):
+        ids = sampler.epoch(epoch)
+        for start in range(0, len(ids) - args.batch_size + 1, args.batch_size):
+            chunk = ids[start : start + args.batch_size]
+            batch = collate([datasets[s][t] for s, t in chunk])
+            if state is None:
+                state = trainer.init_state(batch)
+            state, loss = trainer.train_step(
+                state, batch, jax.random.fold_in(rng, step)
+            )
+            step += 1
+            if step % args.log_every == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+        if state is not None:
+            trainer.save_checkpoint(
+                state, os.path.join(args.output, f"ckpt_ep{epoch}.msgpack")
+            )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="detectorfreesfm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -169,6 +224,17 @@ def main(argv=None) -> int:
     se.add_argument("--n-scenes", type=int, default=None, dest="n_scenes")
     add_common(se)
     se.set_defaults(fn=cmd_eval_dataset)
+
+    st = sub.add_parser("train", help="train the multiview refiner")
+    st.add_argument("--data", required=True, help="dir of scene .npz indexes")
+    st.add_argument("--output", required=True)
+    st.add_argument("--epochs", type=int, default=25)
+    st.add_argument("--batch-size", type=int, default=1, dest="batch_size")
+    st.add_argument("--img-resize", type=int, default=832, dest="img_resize")
+    st.add_argument("--samples-per-scene", type=int, default=250,
+                    dest="samples_per_scene")
+    st.add_argument("--log-every", type=int, default=50, dest="log_every")
+    st.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
     return args.fn(args)

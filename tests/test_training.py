@@ -1,0 +1,194 @@
+"""Training stack tests: depth-warp supervision, optimizers, trainer step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectorfreesfm_tpu.core.geometry import rotmat_to_quat
+from detectorfreesfm_tpu.data.megadepth import SceneBalancedSampler, shard_scenes
+from detectorfreesfm_tpu.models.multiview_matcher import RefinerConfig
+from detectorfreesfm_tpu.train.optimizers import OptimConfig, build_optimizer
+from detectorfreesfm_tpu.train.supervision import generate_tracks
+from detectorfreesfm_tpu.train.trainer import TrainConfig, Trainer
+
+from test_sfm import _look_at_R
+
+
+def _planar_tuple(v=3, size=64, f=80.0, seed=0):
+    """Cameras looking at a textured plane at z=5: depth known analytically."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[f, 0, size / 2], [0, f, size / 2], [0, 0, 1.0]])
+    qs, ts, depths = [], [], []
+    for i in range(v):
+        eye = np.array([0.6 * (i - v // 2), 0.1 * i, -0.3 * i])
+        R = _look_at_R(eye, np.array([0.0, 0.0, 5.0]))
+        t = -R @ eye
+        # Depth of the plane z_w=5 seen from this camera, per pixel:
+        # ray r(u,v) in cam coords; z_cam where world z = 5
+        ys, xs = np.mgrid[0:size, 0:size]
+        dirs = np.stack(
+            [(xs - K[0, 2]) / f, (ys - K[1, 2]) / f, np.ones_like(xs, np.float64)],
+            -1,
+        )
+        dirs_w = dirs @ R  # rows: R^T @ dir
+        C = eye
+        lam = (5.0 - C[2]) / np.maximum(dirs_w[..., 2], 1e-9)
+        depth = lam  # z_cam of intersection = lam * 1 (dir z-normalized in cam)
+        qs.append(np.asarray(rotmat_to_quat(jnp.asarray(R))))
+        ts.append(t)
+        depths.append(depth.astype(np.float32))
+    images = rng.uniform(0, 1, (v, size, size, 1)).astype(np.float32)
+    return {
+        "images": images,
+        "depths": np.stack(depths),
+        "K": np.tile(K[None], (v, 1, 1)).astype(np.float32),
+        "qvec": np.stack(qs).astype(np.float32),
+        "tvec": np.stack(ts).astype(np.float32),
+    }
+
+
+def test_supervision_warp_geometric_consistency():
+    tup = _planar_tuple()
+    spv = generate_tracks(
+        jnp.asarray(tup["depths"]), jnp.asarray(tup["K"]),
+        jnp.asarray(tup["qvec"]), jnp.asarray(tup["tvec"]),
+        jax.random.PRNGKey(0), n_tracks=64, jitter_px=0.0, scale_jitter=0.0,
+    )
+    valid = np.asarray(spv.track_valid)
+    assert valid.sum() > 10, valid.sum()
+    gt = np.asarray(spv.gt_xy)
+    mask = np.asarray(spv.node_mask)
+    # Re-project GT through the plane geometry: unproject ref, warp to query
+    # (the generator itself warped — verify it against an independent numpy path)
+    from detectorfreesfm_tpu.core.geometry import quat_to_rotmat
+
+    K = tup["K"][0]
+    for r in np.flatnonzero(valid)[:10]:
+        ref = gt[r, 0]
+        R0 = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][0])), np.float64)
+        t0 = tup["tvec"][0]
+        d0 = tup["depths"][0][
+            int(round(ref[1])), int(round(ref[0]))
+        ]
+        xc = np.array([(ref[0] - K[0, 2]) / K[0, 0] * d0,
+                       (ref[1] - K[1, 2]) / K[1, 1] * d0, d0])
+        Xw = R0.T @ (xc - t0)
+        assert abs(Xw[2] - 5.0) < 0.15  # on the plane
+        for vpos in range(1, gt.shape[1]):
+            if not mask[r, vpos]:
+                continue
+            Rv = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][vpos])), np.float64)
+            Xc = Rv @ Xw + tup["tvec"][vpos]
+            uv = (K @ (Xc / Xc[2]))[:2]
+            np.testing.assert_allclose(gt[r, vpos], uv, atol=0.75)
+
+
+def test_scene_sharding_and_sampler():
+    scenes = [f"s{i}" for i in range(10)]
+    shards = [shard_scenes(scenes, p, 4) for p in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    # Every scene appears somewhere
+    assert set(scenes) <= set(sum(shards, []))
+    samp = SceneBalancedSampler([100, 50, 0, 7], n_per_scene=20, seed=1)
+    e = samp.epoch(0)
+    assert len(e) == 60  # 3 non-empty scenes x 20
+    counts = np.bincount(e[:, 0], minlength=4)
+    assert counts.tolist() == [20, 20, 0, 20]
+    assert (e[e[:, 0] == 3][:, 1] < 7).all()
+    # Determinism + epoch variation
+    assert np.array_equal(samp.epoch(0), e)
+    assert not np.array_equal(samp.epoch(1), e)
+
+
+def test_optimizer_backbone_lr_ratio():
+    import flax.linen as fnn
+
+    class M(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.Dense(4, name="backbone_dense")(x)
+            return fnn.Dense(4, name="head")(x)
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
+    cfg = OptimConfig(grad_clip=0.0, scheduler="multistep", backbone_path="backbone")
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    up_bb = float(jnp.abs(
+        updates["params"]["backbone_dense"]["kernel"]
+    ).mean())
+    up_head = float(jnp.abs(updates["params"]["head"]["kernel"]).mean())
+    np.testing.assert_allclose(up_bb, up_head * 0.5, rtol=1e-5)
+
+
+def test_trainer_step_reduces_loss():
+    cfg = TrainConfig(
+        refiner=RefinerConfig(crop_size=11, window=7),
+        optim=OptimConfig(canonical_lr=2e-3, true_batch_size=2,
+                          scheduler="multistep", milestones=(1000,)),
+        n_tracks=32,
+    )
+    trainer = Trainer(cfg)
+    batch = {
+        k: np.stack([_planar_tuple(seed=0)[k], _planar_tuple(seed=1)[k]])
+        for k in ("images", "depths", "K", "qvec", "tvec")
+    }
+    state = trainer.init_state({k: v for k, v in batch.items()})
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(8):
+        state, loss = trainer.train_step(state, batch, jax.random.fold_in(rng, 0))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+    # Checkpoint roundtrip
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ckpt.msgpack")
+        trainer.save_checkpoint(state, p)
+        restored = trainer.load_params(p, state.params)
+        a = jax.tree_util.tree_leaves(restored)[0]
+        b = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cli_train_smoke(tmp_path):
+    """CLI train verb on two tiny on-disk scenes (1 epoch, planar geometry)."""
+    from PIL import Image as PILImage
+
+    from detectorfreesfm_tpu import cli
+
+    data_dir = tmp_path / "scenes"
+    out_dir = tmp_path / "ckpts"
+    data_dir.mkdir()
+    out_dir.mkdir()
+    for s in range(2):
+        tup = _planar_tuple(v=3, size=48, seed=s)
+        img_paths, dep_paths = [], []
+        for vi in range(3):
+            ip = f"s{s}_im{vi}.png"
+            dp = f"s{s}_d{vi}.npy"
+            PILImage.fromarray(
+                (tup["images"][vi, :, :, 0] * 255).astype(np.uint8), "L"
+            ).save(data_dir / ip)
+            np.save(data_dir / dp, tup["depths"][vi])
+            img_paths.append(ip)
+            dep_paths.append(dp)
+        np.savez(
+            data_dir / f"scene{s}.npz",
+            image_paths=np.array(img_paths), depth_paths=np.array(dep_paths),
+            K=tup["K"].astype(np.float64), qvec=tup["qvec"].astype(np.float64),
+            tvec=tup["tvec"].astype(np.float64),
+            tuples=np.array([[0, 1, 2]]),
+        )
+    rc = cli.main([
+        "train", "--data", str(data_dir), "--output", str(out_dir),
+        "--epochs", "1", "--batch-size", "2", "--img-resize", "48",
+        "--samples-per-scene", "2", "--log-every", "1",
+    ])
+    assert rc == 0
+    import os
+    assert any(f.endswith(".msgpack") for f in os.listdir(out_dir))
