@@ -38,12 +38,18 @@ def main():
     params = model.init(jax.random.PRNGKey(2), img0[:1], img1[:1])
 
     fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
-    jax.block_until_ready(fwd(params, img0, img1))  # compile + warm
 
+    def run_sync():
+        out = fwd(params, img0, img1)
+        # device_get of a dependent scalar forces completion even on async
+        # tunnel transports where block_until_ready returns early
+        return float(jax.device_get(out.conf.sum()))
+
+    run_sync()  # compile + warm
+    run_sync()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, img0, img1)
-    jax.block_until_ready(out)
+        run_sync()
     dt = time.perf_counter() - t0
     pairs_per_s = batch * iters / dt
 
