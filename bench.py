@@ -30,6 +30,7 @@ def main():
     cfg = MatcherConfig(
         compute_dtype="bfloat16" if on_tpu else "float32",
         max_matches=2048 if on_tpu else 128,
+        fused_matching=on_tpu,  # Pallas fused dual-softmax on real hardware
     )
     model = DetectorFreeMatcher(cfg)
     rng = jax.random.PRNGKey(0)

@@ -34,12 +34,14 @@ class EngineConfig:
     max_matches: int = 2048
     round_matches_ratio: Optional[int] = None  # quantize coords to N-px grid
     compute_dtype: str = "float32"
+    fused_matching: bool = False  # Pallas fused dual-softmax (TPU runs)
 
     def matcher_config(self) -> MatcherConfig:
         return MatcherConfig(
             match_threshold=self.match_threshold,
             max_matches=self.max_matches,
             compute_dtype=self.compute_dtype,
+            fused_matching=self.fused_matching,
         )
 
 

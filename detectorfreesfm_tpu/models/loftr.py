@@ -48,6 +48,10 @@ class MatcherConfig:
     fine_window: int = 5  # fine correlation window (fine-res px)
     fine_enabled: bool = False  # coarse_only by default, as the pipeline uses
     compute_dtype: str = "float32"  # "bfloat16" on real TPU runs
+    # Fused Pallas dual-softmax + mutual-NN extraction (ops/pallas_dsm.py):
+    # never materializes the (L, S) conf matrix in HBM. TPU-only (tests use
+    # the dense path or interpret mode); training needs the dense conf anyway.
+    fused_matching: bool = False
 
     @property
     def dtype(self):
@@ -165,11 +169,22 @@ class DetectorFreeMatcher(nn.Module):
         )
         c0, c1 = lt(c0, c1, mask0, mask1)
 
-        conf = dual_softmax_confidence(
-            c0.astype(jnp.float32), c1.astype(jnp.float32),
-            mask0, mask1, cfg.dsoftmax_temperature,
-        )
-        matches = extract_topk_matches(conf, cfg.match_threshold, cfg.max_matches)
+        if cfg.fused_matching and not return_conf:
+            from ..ops.pallas_dsm import fused_extract_matches
+
+            conf = None
+            matches = fused_extract_matches(
+                c0, c1, mask0, mask1, cfg.match_threshold, cfg.max_matches,
+                temperature=cfg.dsoftmax_temperature,
+            )
+        else:
+            conf = dual_softmax_confidence(
+                c0.astype(jnp.float32), c1.astype(jnp.float32),
+                mask0, mask1, cfg.dsoftmax_temperature,
+            )
+            matches = extract_topk_matches(
+                conf, cfg.match_threshold, cfg.max_matches
+            )
 
         # Grid cells -> full-res pixel coordinates (cell top-left * 8, as the
         # reference's on-grid keypoints)
