@@ -193,16 +193,18 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     b_red = b_cam - red
 
     # Schur S: start from block-diag U, subtract per-point camera-pair terms.
-    # Regroup obs by point: track_obs (P, T) indexes into the obs arrays.
-    T = prob.track_obs.shape[1]
-    Wt = W[prob.track_obs] * prob.track_mask[..., None, None].astype(dtype)   # (P, T, 7, 3)
+    # Regroup obs by point: track_obs (Pt, T) indexes into the obs arrays
+    # (Pt >= P when the table is padded to a device multiple; pad rows point
+    # at the masked dummy observation and contribute zeros).
+    Pt, T = prob.track_obs.shape
+    Wt = W[prob.track_obs] * prob.track_mask[..., None, None].astype(dtype)   # (Pt, T, 7, 3)
     Yt = Y[prob.track_obs] * prob.track_mask[..., None, None].astype(dtype)
-    cams_t = prob.obs_cam[prob.track_obs]                                     # (P, T)
-    # (P, T, T, 7, 7) pairwise Y_i W_j^T
+    cams_t = prob.obs_cam[prob.track_obs]                                     # (Pt, T)
+    # (Pt, T, T, 7, 7) pairwise Y_i W_j^T
     pair = jnp.einsum("ptkm,pslm->ptskl", Yt, Wt)
     S = jnp.zeros((C, C, CAM_DOF, CAM_DOF), dtype)
-    idx_i = jnp.broadcast_to(cams_t[:, :, None], (P, T, T)).reshape(-1)
-    idx_j = jnp.broadcast_to(cams_t[:, None, :], (P, T, T)).reshape(-1)
+    idx_i = jnp.broadcast_to(cams_t[:, :, None], (Pt, T, T)).reshape(-1)
+    idx_j = jnp.broadcast_to(cams_t[:, None, :], (Pt, T, T)).reshape(-1)
     S = S.at[idx_i, idx_j].add(pair.reshape(-1, CAM_DOF, CAM_DOF))
     S = -S
     S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
@@ -255,12 +257,21 @@ def bundle_adjust(
     max_iters: int = 30,
     huber_delta: float = 2.0,
     max_track: int | None = None,
+    mesh=None,               # jax.sharding.Mesh -> shard obs over "data"
     verbose: bool = False,
 ):
     """Host LM driver around the jitted Schur step.
 
     Inputs are live (unpadded) numpy arrays; padding/bucketing happens here.
     Returns (qvec, tvec, intr, points, final_cost_per_obs).
+
+    With `mesh`, the observation arrays (and per-point track tables) shard
+    over the mesh's "data" axis: the per-observation Jacobians and the
+    segment-sum reductions into camera/point blocks then run SPMD, with XLA
+    inserting the cross-chip psums — the distributed-Schur design of
+    BASELINE.md (camera blocks reduced over ICI, points partitioned).
+    Cameras, points, and the reduced (C·7)^2 system stay replicated: the
+    dense Cholesky is tiny next to the residual/Jacobian work on big scenes.
     """
     C, P, O = len(qvec), len(points), len(obs_uv)
     if O == 0 or P == 0:
@@ -287,8 +298,27 @@ def bundle_adjust(
         track_obs[p, :c] = order[starts[p] : starts[p] + c]
         track_mask[p, :c] = True
 
-    # Pad obs arrays by one dummy slot (index O used by padded track entries)
-    pad = lambda a, v: np.concatenate([a, np.full((1,) + a.shape[1:], v, a.dtype)])
+    # Pad obs arrays by one dummy slot (index O used by padded track entries),
+    # then (sharded path) up to a device multiple so leading axes split evenly
+    n_shard = 1
+    if mesh is not None:
+        n_shard = int(np.prod([mesh.shape[a] for a in ("data",) if a in mesh.shape]))
+    o_pad = ((O + 1 + n_shard - 1) // n_shard) * n_shard
+
+    def pad(a, v):
+        extra = o_pad - O
+        return np.concatenate(
+            [a, np.full((extra,) + a.shape[1:], v, a.dtype)]
+        )
+
+    p_rows = ((P + n_shard - 1) // n_shard) * n_shard
+    if p_rows > P:
+        track_obs = np.concatenate(
+            [track_obs, np.full((p_rows - P, T), O, np.int32)]
+        )
+        track_mask = np.concatenate(
+            [track_mask, np.zeros((p_rows - P, T), bool)]
+        )
     dt = np.float32
     prob = BAProblem(
         cam_R=jnp.asarray(R_all, dt),
@@ -299,7 +329,7 @@ def bundle_adjust(
         obs_cam=jnp.asarray(pad(obs_cam.astype(np.int32), 0)),
         obs_pt=jnp.asarray(pad(obs_pt.astype(np.int32), 0)),
         obs_mask=jnp.asarray(
-            np.concatenate([np.ones(O, bool), np.zeros(1, bool)])
+            pad(np.ones(O, bool), False)
         ),
         track_obs=jnp.asarray(track_obs),
         track_mask=jnp.asarray(track_mask),
@@ -308,6 +338,22 @@ def bundle_adjust(
         ),
         refine_focal=jnp.asarray(refine_focal),
     )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        prob = BAProblem(*[
+            jax.device_put(
+                v,
+                data_sh if name in (
+                    "obs_uv", "obs_cam", "obs_pt", "obs_mask",
+                    "track_obs", "track_mask",
+                ) else repl,
+            )
+            for name, v in zip(BAProblem._fields, prob)
+        ])
 
     lam = 1e-3
     cost = float(ba_cost(prob, huber_delta))

@@ -155,3 +155,33 @@ def test_bundle_adjustment_reduces_reprojection_error():
     e_after = mean_err(q2, t2, pts2)
     assert e_before > 2.0, e_before  # the perturbation was real
     assert e_after < 0.3, (e_before, e_after)
+
+
+def test_bundle_adjustment_sharded_matches_single_device():
+    """Distributed-Schur path: obs sharded over the 8-device mesh must give
+    the same result as the unsharded run."""
+    from detectorfreesfm_tpu.parallel.mesh import make_mesh
+
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=4, n_pts=60, seed=8)
+    rng = np.random.default_rng(9)
+    C, P = 4, 60
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat
+
+    qvec = np.array(rotmat_to_quat(jnp.asarray(np.stack(Rs))))
+    tvec = np.stack(ts)
+    tvec[2:] += rng.normal(0, 0.05, (C - 2, 3))
+    pts_noisy = pts + rng.normal(0, 0.03, pts.shape)
+    obs_uv = np.concatenate(uvs)
+    obs_cam = np.repeat(np.arange(C), P)
+    obs_pt = np.tile(np.arange(P), C)
+    intr = np.tile(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), (C, 1))
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+
+    args = (qvec, tvec, intr, pts_noisy, obs_uv, obs_cam, obs_pt)
+    kw = dict(fixed_cams=fixed, max_iters=10)
+    q1, t1, _, p1, c1 = bundle_adjust(*args, **kw)
+    q2, t2, _, p2, c2 = bundle_adjust(*args, mesh=make_mesh(), **kw)
+    np.testing.assert_allclose(q1, q2, atol=1e-4)
+    np.testing.assert_allclose(t1, t2, atol=1e-3)
+    np.testing.assert_allclose(c1, c2, rtol=0.05, atol=1e-4)
