@@ -41,6 +41,10 @@ class RefinerConfig:
     nhead: int = 8
     n_layers: int = 2      # (self, cross) pairs
     softmax_temperature: float = 0.1
+    # Reference-point movement (reference fine_matching.py:100-127, test
+    # only): also search a (2r+1)^2 grid of candidate reference positions and
+    # keep the one whose query heatmaps have the smallest mean std. 0 = off.
+    ref_move_radius: int = 0
     compute_dtype: str = "float32"
 
     @property
@@ -49,8 +53,8 @@ class RefinerConfig:
 
 
 class RefinerOutput(NamedTuple):
-    coords: jax.Array  # (T, V, 2) refined coordinates, image pixels.
-                       # View 0 (reference) is returned unchanged this step.
+    coords: jax.Array  # (T, V, 2) refined coordinates, image pixels. View 0
+                       # (reference) only moves when ref_move_radius > 0.
     std: jax.Array     # (T, V) expectation std in window units (ref: 0)
 
 
@@ -114,18 +118,51 @@ class MultiviewRefiner(nn.Module):
         ref, qry = lt(ref, qry, ref_mask, qry_mask)
 
         # --- correlation + expectation ---------------------------------------
-        center = ref[:, (w * w) // 2].astype(jnp.float32)     # (T, C)
         qry = qry.reshape(t, v - 1, w * w, c).astype(jnp.float32)
-        sim = jnp.einsum(
-            "tc,tqwc->tqw", center, qry, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(c, jnp.float32))
-        heat = sim.reshape(t, v - 1, w, w) / cfg.softmax_temperature
-        coords_n, std = soft_argmax_refine(heat, normalized=True)
-        # [-1, 1] -> pixel offset: half-window span times per-node scale step
         half = (w - 1) / 2.0
-        delta = coords_n * half * node_scale[:, 1:, None]
+        inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+        r = cfg.ref_move_radius
+        if r == 0:
+            center = ref[:, (w * w) // 2].astype(jnp.float32)  # (T, C)
+            sim = jnp.einsum(
+                "tc,tqwc->tqw", center, qry,
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_c
+            heat = sim.reshape(t, v - 1, w, w) / cfg.softmax_temperature
+            coords_n, std = soft_argmax_refine(heat, normalized=True)
+            delta = coords_n * half * node_scale[:, 1:, None]
+            ref_xy = node_xy[:, 0:1]
+        else:
+            # Candidate reference positions: (2r+1)^2 grid around center
+            offs = jnp.arange(-r, r + 1)
+            oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+            mid = w // 2
+            cand_lin = ((mid + oy) * w + (mid + ox)).reshape(-1)  # (L2,)
+            cand = ref[:, cand_lin].astype(jnp.float32)           # (T, L2, C)
+            sim = jnp.einsum(
+                "tlc,tqwc->tlqw", cand, qry,
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_c
+            heat = sim.reshape(t, -1, v - 1, w, w) / cfg.softmax_temperature
+            coords_n, std_c = soft_argmax_refine(heat, normalized=True)
+            # Best candidate = smallest mean std over valid query views
+            # (reference smallest_mean_std selection, fine_matching.py:129-193)
+            qmask = node_mask[:, None, 1:].astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(qmask, -1), 1.0)
+            mean_std = jnp.sum(std_c * qmask, -1) / denom         # (T, L2)
+            best = jnp.argmin(mean_std, axis=1)                   # (T,)
+            coords_n = jnp.take_along_axis(
+                coords_n, best[:, None, None, None], axis=1
+            )[:, 0]
+            std = jnp.take_along_axis(std_c, best[:, None, None], axis=1)[:, 0]
+            delta = coords_n * half * node_scale[:, 1:, None]
+            d_ref = jnp.stack(
+                [(best % (2 * r + 1)) - r, (best // (2 * r + 1)) - r], -1
+            ).astype(jnp.float32)
+            ref_xy = (node_xy[:, 0] + d_ref)[:, None]
+
         q_xy = node_xy[:, 1:] + delta
-        coords = jnp.concatenate([node_xy[:, 0:1], q_xy], axis=1)
+        coords = jnp.concatenate([ref_xy, q_xy], axis=1)
         std_full = jnp.concatenate(
             [jnp.zeros((t, 1), std.dtype), std], axis=1
         )

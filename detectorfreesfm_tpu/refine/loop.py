@@ -146,6 +146,7 @@ def refine_reconstruction(
             m.names = [im.name for im in rec.images.values()]
             m.name_to_id = {im.name: i for i, im in rec.images.items()}
         thr = cfg.filter_thresholds[min(it, len(cfg.filter_thresholds) - 1)]
+        m.retriangulate(rec)  # structure follows the refined 2D points
         m.global_ba(rec, fixed_ids=_farthest_pair(rec))
         n_rm = m.filter_points(rec, thr, cfg.min_tri_angle_deg)
         if verbose:

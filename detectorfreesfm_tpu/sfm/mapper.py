@@ -304,6 +304,39 @@ class IncrementalMapper:
         for j, p in enumerate(pids):
             rec.points[p]["xyz"] = pts2[j]
 
+    def retriangulate(self, rec: Reconstruction) -> int:
+        """Re-solve every point's DLT from its current observations (the
+        refiner moves 2D keypoints, so structure must follow before BA —
+        COLMAP's incremental_model_refiner retriangulates internally).
+        Returns the number of updated points."""
+        pids = sorted(rec.points)
+        if not pids:
+            return 0
+        V = max(len(rec.points[p]["track"]) for p in pids)
+        n = len(pids)
+        n_pad = _pad_pow2(n, lo=32)
+        Pm = np.zeros((n_pad, V, 3, 4), np.float32)
+        UV = np.zeros((n_pad, V, 2), np.float32)
+        M = np.zeros((n_pad, V), bool)
+        for r, pid in enumerate(pids):
+            for v, (img_id, kpt) in enumerate(rec.points[pid]["track"][:V]):
+                im = rec.images[img_id]
+                Pm[r, v] = np.asarray(projection_matrices(
+                    jnp.asarray(im.qvec), jnp.asarray(im.tvec),
+                    jnp.asarray(rec.K_of_image(img_id)),
+                ))
+                UV[r, v] = im.xys[kpt]
+                M[r, v] = True
+        X, ok = triangulate_dlt(jnp.asarray(Pm), jnp.asarray(UV), jnp.asarray(M))
+        X = np.asarray(X, np.float64)
+        ok = np.asarray(ok)
+        n_upd = 0
+        for r, pid in enumerate(pids):
+            if ok[r] and np.all(np.isfinite(X[r])):
+                rec.points[pid]["xyz"] = X[r]
+                n_upd += 1
+        return n_upd
+
     def filter_points(self, rec: Reconstruction, max_error: float,
                       min_angle_deg: float) -> int:
         """Drop observations with reproj error > max_error; drop points whose

@@ -91,3 +91,26 @@ def test_refine_loop_smoke():
     for pid, pt in rec.points.items():
         for img_id, kpt in pt["track"]:
             assert rec.images[img_id].point3D_ids[kpt] == pid
+
+
+def test_refiner_reference_movement():
+    """ref_move_radius > 0: reference coords may shift by at most r px and
+    query outputs stay bounded by the window."""
+    cfg = RefinerConfig(crop_size=13, window=9, ref_move_radius=2)
+    model = MultiviewRefiner(cfg)
+    rng = np.random.default_rng(3)
+    I, T, V = 2, 6, 4
+    images = jnp.asarray(rng.uniform(0, 1, (I, 64, 64, 1)).astype(np.float32))
+    node_img = jnp.asarray(rng.integers(0, I, (T, V)).astype(np.int32))
+    node_xy = jnp.asarray(rng.uniform(20, 44, (T, V, 2)).astype(np.float32))
+    node_scale = jnp.ones((T, V), jnp.float32)
+    mask = jnp.asarray(np.ones((T, V), bool))
+    params = model.init(jax.random.PRNGKey(0), images, node_img, node_xy,
+                        node_scale, mask)
+    out = model.apply(params, images, node_img, node_xy, node_scale, mask)
+    c = np.asarray(out.coords)
+    xy = np.asarray(node_xy)
+    d_ref = np.abs(c[:, 0] - xy[:, 0])
+    assert (d_ref <= 2.0 + 1e-5).all()
+    half = (cfg.window - 1) / 2
+    assert (np.abs(c[:, 1:] - xy[:, 1:]) <= half + 1e-4).all()

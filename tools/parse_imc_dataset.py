@@ -1,0 +1,34 @@
+"""Parse IMC-2021-style phototourism scenes into the CLI's scene layout.
+
+Parity with reference tools/parse_data/parse_IMC_dataset.py: each scene holds
+set_100/images/ + calibration CSVs or a COLMAP model; we support the COLMAP-
+model variant (sparse model under `sfm/` or `set_100/sfm`).
+
+Usage: python tools/parse_imc_dataset.py --input IMC_ROOT --output OUT
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parse_eth3d_dataset import parse_scene  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+    for scene in sorted(os.listdir(args.input)):
+        sdir = os.path.join(args.input, scene)
+        for sub in ("sfm", os.path.join("set_100", "sfm")):
+            if os.path.isdir(os.path.join(sdir, sub)):
+                print(f"parsing {scene} ({sub})")
+                parse_scene(sdir, os.path.join(args.output, scene), sub)
+                break
+
+
+if __name__ == "__main__":
+    main()
