@@ -27,6 +27,7 @@ from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_leading_
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
+    matcher: str = "loftr"         # loftr | aspan | matchformer
     img_resize: int = 832          # padded square frame (long-side cap)
     df: int = 8                    # divisor for the 1/8 grid
     batch_size: int = 1            # pairs per device per step
@@ -58,7 +59,18 @@ class PairMatchingEngine:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else get_mesh()
-        self.model = DetectorFreeMatcher(cfg.matcher_config())
+        if cfg.matcher in ("loftr", "loftr_official", "detectorfree"):
+            self.model = DetectorFreeMatcher(cfg.matcher_config())
+        else:
+            from ..models import build_matcher
+
+            mc = cfg.matcher_config()
+            self.model = build_matcher(
+                cfg.matcher,
+                match_threshold=mc.match_threshold,
+                max_matches=mc.max_matches,
+                compute_dtype=mc.compute_dtype,
+            )
         s = cfg.img_resize
         if params is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)

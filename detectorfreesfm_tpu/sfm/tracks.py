@@ -11,9 +11,48 @@ image's observations dropped (COLMAP discards conflicting correspondences).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_native_lib: Optional[ctypes.CDLL] = None
+_native_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load (building on demand) the C++ union-find; None -> Python path."""
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    so = os.path.join(_NATIVE_DIR, "libtrackbuilder.so")
+    src = os.path.join(_NATIVE_DIR, "trackbuilder.cpp")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", so, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(so)
+        lib.uf_build.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.uf_build.restype = None
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
 
 
 class Track:
@@ -64,25 +103,41 @@ def build_tracks(
     for im in images:
         offset[im] = total
         total += n_kpts[im]
-    parent = np.arange(total, dtype=np.int64)
 
+    edges_a: List[np.ndarray] = []
+    edges_b: List[np.ndarray] = []
     for (a, b) in sorted(match_indices):
         m = match_indices[(a, b)]
         if len(m) == 0:
             continue
-        ia = offset[a] + m[:, 0].astype(np.int64)
-        ib = offset[b] + m[:, 1].astype(np.int64)
-        for x, y in zip(ia, ib):
+        edges_a.append(offset[a] + m[:, 0].astype(np.int64))
+        edges_b.append(offset[b] + m[:, 1].astype(np.int64))
+    ea = np.concatenate(edges_a) if edges_a else np.zeros(0, np.int64)
+    eb = np.concatenate(edges_b) if edges_b else np.zeros(0, np.int64)
+
+    lib = _load_native()
+    if lib is not None:
+        roots = np.empty(total, dtype=np.int64)
+        ea_c = np.ascontiguousarray(ea)
+        eb_c = np.ascontiguousarray(eb)
+        lib.uf_build(
+            total,
+            ea_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            eb_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ea_c),
+            roots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    else:  # pure-Python fallback, identical semantics
+        parent = np.arange(total, dtype=np.int64)
+        for x, y in zip(ea, eb):
             rx, ry = _find(parent, x), _find(parent, y)
             if rx != ry:
                 r = min(rx, ry)  # smallest-id root keeps ordering stable
                 parent[rx] = r
                 parent[ry] = r
-
-    # Final flatten
-    roots = np.empty(total, dtype=np.int64)
-    for i in range(total):
-        roots[i] = _find(parent, i)
+        roots = np.empty(total, dtype=np.int64)
+        for i in range(total):
+            roots[i] = _find(parent, i)
 
     # Node -> (image, kpt)
     img_of = np.empty(total, dtype=np.int64)

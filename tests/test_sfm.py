@@ -185,3 +185,31 @@ def test_bundle_adjustment_sharded_matches_single_device():
     np.testing.assert_allclose(q1, q2, atol=1e-4)
     np.testing.assert_allclose(t1, t2, atol=1e-3)
     np.testing.assert_allclose(c1, c2, rtol=0.05, atol=1e-4)
+
+
+def test_native_trackbuilder_matches_python():
+    """C++ union-find must produce identical tracks to the Python fallback."""
+    import detectorfreesfm_tpu.sfm.tracks as T
+
+    rng = np.random.default_rng(12)
+    n_imgs, n_kp = 6, 40
+    n_kpts = {i: n_kp for i in range(n_imgs)}
+    matches = {}
+    for a in range(n_imgs):
+        for b in range(a + 1, n_imgs):
+            m = rng.integers(0, n_kp, (25, 2)).astype(np.int32)
+            matches[(a, b)] = np.unique(m, axis=0)
+
+    lib = T._load_native()
+    assert lib is not None, "native track builder failed to build/load"
+    native = T.build_tracks(n_kpts, matches)
+    # Force the Python path
+    T._native_lib, T._native_tried = None, True
+    try:
+        python = T.build_tracks(n_kpts, matches)
+    finally:
+        T._native_tried = False
+        T._native_lib = None
+    assert len(native) == len(python)
+    for tn, tp in zip(native, python):
+        assert tn.observations == tp.observations
