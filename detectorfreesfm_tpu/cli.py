@@ -162,9 +162,17 @@ def cmd_train(args) -> int:
     sampler = SceneBalancedSampler(
         [len(d) for d in datasets], n_per_scene=args.samples_per_scene
     )
-    cfg = TrainConfig(optim=OptimConfig(
-        true_batch_size=args.batch_size * jax.process_count(),
-    ))
+    from .models.multiview_matcher import RefinerConfig
+
+    cfg = TrainConfig(
+        refiner=RefinerConfig(
+            crop_size=args.window + 4, window=args.window,
+        ),
+        optim=OptimConfig(
+            true_batch_size=args.batch_size * jax.process_count(),
+        ),
+        n_tracks=args.n_tracks,
+    )
     trainer = Trainer(cfg)
     state = None
     rng = jax.random.PRNGKey(cfg.seed)
@@ -234,6 +242,8 @@ def main(argv=None) -> int:
     st.add_argument("--samples-per-scene", type=int, default=250,
                     dest="samples_per_scene")
     st.add_argument("--log-every", type=int, default=50, dest="log_every")
+    st.add_argument("--n-tracks", type=int, default=200, dest="n_tracks")
+    st.add_argument("--window", type=int, default=15)
     st.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

@@ -56,7 +56,11 @@ class PairMatchingEngine:
         params=None,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        profiler=None,
     ):
+        from ..utils.profiler import PassThroughProfiler
+
+        self.profiler = profiler if profiler is not None else PassThroughProfiler()
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else get_mesh()
         if cfg.matcher in ("loftr", "loftr_official", "detectorfree"):
@@ -83,12 +87,23 @@ class PairMatchingEngine:
     # -- host-side data staging ---------------------------------------------
 
     def load_images(self, paths: Dict[str, str]) -> Dict[str, LoadedImage]:
+        """Decode+resize all scene images with a host thread pool (the
+        reference uses 4 DataLoader workers per GPU; here IO overlaps the
+        device compute of previous batches)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
-        return {
-            name: load_gray(p, long_side=cfg.img_resize, df=cfg.df,
-                            pad_to=cfg.img_resize)
-            for name, p in paths.items()
-        }
+        names = list(paths)
+        with self.profiler.record_function("engine/load_images"):
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                imgs = list(pool.map(
+                    lambda n: load_gray(
+                        paths[n], long_side=cfg.img_resize, df=cfg.df,
+                        pad_to=cfg.img_resize,
+                    ),
+                    names,
+                ))
+        return dict(zip(names, imgs))
 
     # -- matching -------------------------------------------------------------
 
@@ -117,8 +132,9 @@ class PairMatchingEngine:
             hw1 = np.stack(
                 [(images[b].valid_size[1], images[b].valid_size[0]) for _, b in chunk]
             ).astype(np.int32)
-            batch = shard_leading_axis((img0, img1, hw0, hw1), self.mesh)
-            res = self._forward(self.params, *batch)
+            with self.profiler.record_function("engine/match_forward"):
+                batch = shard_leading_axis((img0, img1, hw0, hw1), self.mesh)
+                res = self._forward(self.params, *batch)
             c0 = np.asarray(res.coords0)
             c1 = np.asarray(res.coords1)
             conf = np.asarray(res.conf)
@@ -149,5 +165,6 @@ class PairMatchingEngine:
         reference coarse_match.py:237-253)."""
         images = self.load_images(image_paths)
         raw = self.match_pairs(pairs, images)
-        keypoints, scores, match_indices = merge_matches_to_keypoints(raw)
+        with self.profiler.record_function("engine/keypoint_merge"):
+            keypoints, scores, match_indices = merge_matches_to_keypoints(raw)
         return keypoints, scores, match_indices, raw

@@ -188,6 +188,7 @@ def test_cli_train_smoke(tmp_path):
         "train", "--data", str(data_dir), "--output", str(out_dir),
         "--epochs", "1", "--batch-size", "2", "--img-resize", "48",
         "--samples-per-scene", "2", "--log-every", "1",
+        "--n-tracks", "16", "--window", "7",
     ])
     assert rc == 0
     import os
