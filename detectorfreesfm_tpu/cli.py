@@ -197,6 +197,64 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_train_matcher(args) -> int:
+    """Train the coarse detector-free matcher with depth-warped cell
+    supervision (the framework ships no pretrained LoFTR weights — this is
+    the path to real matching quality)."""
+    import glob
+
+    import jax
+
+    from .data.megadepth import (
+        MegaDepthTupleDataset, SceneBalancedSampler, load_scene_index,
+        shard_scenes,
+    )
+    from .models.loftr import MatcherConfig
+    from .train.matcher_trainer import (
+        MatcherTrainConfig, MatcherTrainer, tuple_to_pair_batch,
+    )
+    from .train.optimizers import OptimConfig
+
+    scene_files = sorted(glob.glob(os.path.join(args.data, "*.npz")))
+    if not scene_files:
+        print("no scene index files found", file=sys.stderr)
+        return 1
+    scene_files = shard_scenes(
+        scene_files, jax.process_index(), jax.process_count()
+    )
+    datasets = [
+        MegaDepthTupleDataset(load_scene_index(p), img_size=args.img_resize)
+        for p in scene_files
+    ]
+    sampler = SceneBalancedSampler(
+        [len(d) for d in datasets], n_per_scene=args.samples_per_scene
+    )
+    cfg = MatcherTrainConfig(
+        matcher=MatcherConfig(compute_dtype=args.dtype_train),
+        optim=OptimConfig(
+            true_batch_size=args.batch_size * jax.process_count(),
+            backbone_path="backbone",
+        ),
+    )
+    trainer = MatcherTrainer(cfg)
+    state = None
+    step = 0
+    for epoch in range(args.epochs):
+        for s, t in sampler.epoch(epoch).tolist():
+            batch = tuple_to_pair_batch([datasets[s][t]])
+            if state is None:
+                state = trainer.init_state(batch)
+            state, loss = trainer.train_step(state, batch)
+            step += 1
+            if step % args.log_every == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+        if state is not None:
+            trainer.save_checkpoint(
+                state, os.path.join(args.output, f"matcher_ep{epoch}.msgpack")
+            )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="detectorfreesfm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,6 +303,19 @@ def main(argv=None) -> int:
     st.add_argument("--n-tracks", type=int, default=200, dest="n_tracks")
     st.add_argument("--window", type=int, default=15)
     st.set_defaults(fn=cmd_train)
+
+    sm = sub.add_parser("train-matcher", help="train the coarse matcher")
+    sm.add_argument("--data", required=True, help="dir of scene .npz indexes")
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--epochs", type=int, default=30)
+    sm.add_argument("--batch-size", type=int, default=1, dest="batch_size")
+    sm.add_argument("--img-resize", type=int, default=832, dest="img_resize")
+    sm.add_argument("--samples-per-scene", type=int, default=200,
+                    dest="samples_per_scene")
+    sm.add_argument("--log-every", type=int, default=50, dest="log_every")
+    sm.add_argument("--dtype-train", default="float32", dest="dtype_train",
+                    choices=["float32", "bfloat16"])
+    sm.set_defaults(fn=cmd_train_matcher)
 
     args = p.parse_args(argv)
     return args.fn(args)

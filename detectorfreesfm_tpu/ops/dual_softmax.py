@@ -95,7 +95,11 @@ def extract_topk_matches(
         rows = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
         keep = keep & (back == rows)
     scores = jnp.where(keep, row_max, 0.0)
-    top_conf, idx0 = jax.lax.top_k(scores, k)             # over L rows
+    kk = min(k, l)  # tiny grids can hold fewer rows than the K capacity
+    top_conf, idx0 = jax.lax.top_k(scores, kk)            # over L rows
+    if kk < k:
+        top_conf = jnp.pad(top_conf, ((0, 0), (0, k - kk)))
+        idx0 = jnp.pad(idx0, ((0, 0), (0, k - kk)))
     idx0 = idx0.astype(jnp.int32)
     idx1 = jnp.take_along_axis(row_arg, idx0, axis=1)
     valid = top_conf > threshold

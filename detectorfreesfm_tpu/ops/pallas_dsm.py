@@ -276,7 +276,11 @@ def fused_extract_matches(
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
     keep = keep & (back == rows)
     scores = jnp.where(keep, conf_row, 0.0)
-    top_conf, idx0 = jax.lax.top_k(scores, k)
+    kk = min(k, l)  # tiny grids can hold fewer rows than the K capacity
+    top_conf, idx0 = jax.lax.top_k(scores, kk)
+    if kk < k:
+        top_conf = jnp.pad(top_conf, ((0, 0), (0, k - kk)))
+        idx0 = jnp.pad(idx0, ((0, 0), (0, k - kk)))
     idx0 = idx0.astype(jnp.int32)
     idx1 = jnp.take_along_axis(row_arg, idx0, axis=1)
     valid = top_conf > threshold

@@ -1,0 +1,83 @@
+"""Coarse-matching ground truth: depth-warped cell assignment for a pair.
+
+The LoFTR-family coarse supervision (the reference ships LoFTR pretrained
+with exactly this objective; its own training code is upstream): each 8-px
+cell center of image0 with valid depth warps into image1; the landing cell
+is the positive column for that row of the dual-softmax matrix, rows that
+fail depth/cycle/border checks get -1 (unmatched). One jitted program per
+image-shape bucket; feeds train.losses.coarse_focal_loss.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import quat_to_rotmat
+from .supervision import _bilinear_depth
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def pair_cell_assignment(
+    depth0: jax.Array,  # (H, W)
+    depth1: jax.Array,  # (H, W)
+    K0: jax.Array, K1: jax.Array,          # (3, 3)
+    q0: jax.Array, t0: jax.Array,          # world->cam0
+    q1: jax.Array, t1: jax.Array,          # world->cam1
+    grid: int = 8,
+    depth_consistency: float = 0.05,
+    cycle_thr_px: float = 4.0,
+) -> jax.Array:
+    """Returns (L,) int32: for each img0 cell (row-major on the 1/8 grid),
+    the img1 cell index of its warp target, or -1."""
+    h, w = depth0.shape
+    h8, w8 = h // grid, w // grid
+    ys = (jnp.arange(h8, dtype=jnp.float32) + 0.5) * grid
+    xs = (jnp.arange(w8, dtype=jnp.float32) + 0.5) * grid
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    pts = jnp.stack([gx, gy], -1).reshape(-1, 2)            # (L, 2)
+
+    d0 = _bilinear_depth(depth0, pts)
+    ok = d0 > 1e-6
+    R0 = quat_to_rotmat(q0)
+    R1 = quat_to_rotmat(q1)
+    xy_n = (pts - jnp.array([K0[0, 2], K0[1, 2]])) / jnp.array(
+        [K0[0, 0], K0[1, 1]]
+    )
+    Xc0 = jnp.concatenate([xy_n * d0[:, None], d0[:, None]], -1)
+    Xw = (Xc0 - t0) @ R0                                    # R0^T (Xc - t0)
+    Xc1 = Xw @ R1.T + t1
+    z1 = Xc1[..., 2]
+    ok &= z1 > 1e-6
+    z_safe = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
+    uv1 = Xc1[..., :2] / z_safe[..., None] * jnp.array(
+        [K1[0, 0], K1[1, 1]]
+    ) + jnp.array([K1[0, 2], K1[1, 2]])
+
+    ok &= (
+        (uv1[..., 0] >= 0) & (uv1[..., 0] < w)
+        & (uv1[..., 1] >= 0) & (uv1[..., 1] < h)
+    )
+    d1 = _bilinear_depth(depth1, uv1)
+    ok &= (d1 > 1e-6) & (
+        jnp.abs(d1 - z1) / jnp.maximum(z1, 1e-9) < depth_consistency
+    )
+    # Cycle check: unproject with sampled depth, reproject to img0
+    xy1_n = (uv1 - jnp.array([K1[0, 2], K1[1, 2]])) / jnp.array(
+        [K1[0, 0], K1[1, 1]]
+    )
+    Xc1b = jnp.concatenate([xy1_n * d1[:, None], d1[:, None]], -1)
+    Xwb = (Xc1b - t1) @ R1
+    Xc0b = Xwb @ R0.T + t0
+    z0b = jnp.where(jnp.abs(Xc0b[..., 2]) < 1e-9, 1e-9, Xc0b[..., 2])
+    uv0b = Xc0b[..., :2] / z0b[..., None] * jnp.array(
+        [K0[0, 0], K0[1, 1]]
+    ) + jnp.array([K0[0, 2], K0[1, 2]])
+    ok &= jnp.linalg.norm(uv0b - pts, axis=-1) < cycle_thr_px
+
+    cell_x = jnp.clip((uv1[..., 0] // grid).astype(jnp.int32), 0, w8 - 1)
+    cell_y = jnp.clip((uv1[..., 1] // grid).astype(jnp.int32), 0, h8 - 1)
+    gt = cell_y * w8 + cell_x
+    return jnp.where(ok, gt, -1)

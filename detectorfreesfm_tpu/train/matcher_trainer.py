@@ -1,0 +1,164 @@
+"""Coarse-matcher trainer: data-parallel focal-loss training of the
+detector-free matcher (LoFTR-class).
+
+The reference uses an upstream-pretrained LoFTR; this framework ships no
+weights, so matching quality comes from here: depth-warped cell assignment
+(matcher_supervision.py) supervises the dual-softmax confidence with the
+focal objective (losses.coarse_focal_loss). Same mesh/sharding shape as the
+refiner Trainer: batch of pairs over "data", params replicated, psum grads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.loftr import DetectorFreeMatcher, MatcherConfig
+from .losses import coarse_focal_loss
+from .matcher_supervision import pair_cell_assignment
+from .optimizers import OptimConfig, build_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherTrainConfig:
+    matcher: MatcherConfig = MatcherConfig()
+    optim: OptimConfig = OptimConfig(backbone_path="backbone")
+    grid: int = 8
+    seed: int = 66  # the reference's matcher-build seed
+
+
+class MatcherTrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+class MatcherTrainer:
+    def __init__(self, cfg: MatcherTrainConfig = MatcherTrainConfig(),
+                 mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        if mesh is None:
+            devs = np.asarray(jax.devices())
+            mesh = Mesh(devs.reshape(-1, 1), ("data", "model"))
+        self.mesh = mesh
+        self.model = DetectorFreeMatcher(cfg.matcher)
+        self.tx = None
+        self._step = None
+
+    def init_state(self, sample_batch) -> MatcherTrainState:
+        img = jnp.asarray(sample_batch["image0"][:1])
+        params = self.model.init(jax.random.PRNGKey(self.cfg.seed), img, img)
+        self.tx = build_optimizer(self.cfg.optim, params)
+        repl = NamedSharding(self.mesh, P())
+        return MatcherTrainState(
+            jax.device_put(params, repl),
+            jax.device_put(self.tx.init(params), repl),
+            jnp.zeros((), jnp.int32),
+        )
+
+    def _loss_one(self, params, image0, image1, depth0, depth1, K0, K1,
+                  q0, t0, q1, t1):
+        gt = pair_cell_assignment(
+            depth0, depth1, K0, K1, q0, t0, q1, t1, grid=self.cfg.grid
+        )
+        _, conf = self.model.apply(
+            params, image0[None], image1[None], return_conf=True, train=False
+        )
+        return coarse_focal_loss(conf, gt[None])
+
+    def make_step(self):
+        repl = NamedSharding(self.mesh, P())
+        data_sh = NamedSharding(self.mesh, P("data"))
+
+        def step_fn(state, batch, live):
+            def loss_fn(p):
+                losses = jax.vmap(
+                    lambda a, b, c, d, e, f, g, h, i, j: self._loss_one(
+                        p, a, b, c, d, e, f, g, h, i, j
+                    )
+                )(batch["image0"], batch["image1"], batch["depth0"],
+                  batch["depth1"], batch["K0"], batch["K1"],
+                  batch["q0"], batch["t0"], batch["q1"], batch["t1"])
+                return jnp.sum(losses * live) / jnp.maximum(jnp.sum(live), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            import optax
+
+            params = optax.apply_updates(state.params, updates)
+            return MatcherTrainState(params, opt_state, state.step + 1), loss
+
+        sh = {k: data_sh for k in (
+            "image0", "image1", "depth0", "depth1", "K0", "K1",
+            "q0", "t0", "q1", "t1",
+        )}
+        self._step = jax.jit(
+            step_fn,
+            in_shardings=(MatcherTrainState(repl, repl, repl), sh, data_sh),
+            out_shardings=(MatcherTrainState(repl, repl, repl), repl),
+        )
+        return self._step
+
+    def train_step(self, state, batch):
+        if self._step is None:
+            self.make_step()
+        n = batch["image0"].shape[0]
+        n_dev = int(self.mesh.shape["data"])
+        n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+        live = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(n_pad - n, np.float32)]
+        )
+
+        def pad(a):
+            a = np.asarray(a)
+            if n_pad == n:
+                return a
+            return np.concatenate([a, np.repeat(a[:1], n_pad - n, axis=0)])
+
+        data_sh = NamedSharding(self.mesh, P("data"))
+        batch = {k: jax.device_put(jnp.asarray(pad(v)), data_sh)
+                 for k, v in batch.items()}
+        live = jax.device_put(jnp.asarray(live), data_sh)
+        with self.mesh:
+            return self._step(state, batch, live)
+
+    def save_checkpoint(self, state, path: str):
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": state.params, "step": int(state.step)}
+            ))
+
+    def load_params(self, path: str, template):
+        with open(path, "rb") as f:
+            return serialization.from_bytes(
+                {"params": template, "step": 0}, f.read()
+            )["params"]
+
+
+def tuple_to_pair_batch(tuples: list) -> dict:
+    """First two views of each trainer tuple -> matcher pair batch."""
+    out = {k: [] for k in ("image0", "image1", "depth0", "depth1",
+                           "K0", "K1", "q0", "t0", "q1", "t1")}
+    for tup in tuples:
+        out["image0"].append(tup["images"][0])
+        out["image1"].append(tup["images"][1])
+        out["depth0"].append(tup["depths"][0])
+        out["depth1"].append(tup["depths"][1])
+        out["K0"].append(tup["K"][0])
+        out["K1"].append(tup["K"][1])
+        out["q0"].append(tup["qvec"][0])
+        out["t0"].append(tup["tvec"][0])
+        out["q1"].append(tup["qvec"][1])
+        out["t1"].append(tup["tvec"][1])
+    return {k: np.stack(v) for k, v in out.items()}

@@ -193,3 +193,65 @@ def test_cli_train_smoke(tmp_path):
     assert rc == 0
     import os
     assert any(f.endswith(".msgpack") for f in os.listdir(out_dir))
+
+
+def test_pair_cell_assignment_planar():
+    """Warped cell assignment on the planar scene must agree with an
+    independent numpy warp of cell centers."""
+    from detectorfreesfm_tpu.core.geometry import quat_to_rotmat
+    from detectorfreesfm_tpu.train.matcher_supervision import pair_cell_assignment
+
+    tup = _planar_tuple(v=2, size=64)
+    gt = np.asarray(pair_cell_assignment(
+        jnp.asarray(tup["depths"][0]), jnp.asarray(tup["depths"][1]),
+        jnp.asarray(tup["K"][0]), jnp.asarray(tup["K"][1]),
+        jnp.asarray(tup["qvec"][0]), jnp.asarray(tup["tvec"][0]),
+        jnp.asarray(tup["qvec"][1]), jnp.asarray(tup["tvec"][1]),
+    ))
+    assert gt.shape == (64,)
+    matched = gt >= 0
+    assert matched.sum() > 10, matched.sum()
+    K = tup["K"][0].astype(np.float64)
+    R0 = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][0])), np.float64)
+    R1 = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][1])), np.float64)
+    for cell in np.flatnonzero(matched)[:12]:
+        cx = (cell % 8 + 0.5) * 8
+        cy = (cell // 8 + 0.5) * 8
+        d = tup["depths"][0][int(cy), int(cx)]
+        xc = np.array([(cx - K[0, 2]) / K[0, 0] * d,
+                       (cy - K[1, 2]) / K[1, 1] * d, d])
+        Xw = R0.T @ (xc - tup["tvec"][0])
+        Xc1 = R1 @ Xw + tup["tvec"][1]
+        uv = (K @ (Xc1 / Xc1[2]))[:2]
+        want = int(uv[1] // 8) * 8 + int(uv[0] // 8)
+        # bilinear-vs-nearest depth can flip a boundary cell by one
+        got = gt[cell]
+        gx, gy = got % 8, got // 8
+        wx, wy = want % 8, want // 8
+        assert abs(gx - wx) <= 1 and abs(gy - wy) <= 1, (cell, got, want)
+
+
+def test_matcher_trainer_step_reduces_loss():
+    from detectorfreesfm_tpu.models.loftr import MatcherConfig
+    from detectorfreesfm_tpu.train.matcher_trainer import (
+        MatcherTrainConfig, MatcherTrainer, tuple_to_pair_batch,
+    )
+    from detectorfreesfm_tpu.train.optimizers import OptimConfig
+
+    cfg = MatcherTrainConfig(
+        matcher=MatcherConfig(max_matches=32, border=1),
+        optim=OptimConfig(canonical_lr=5e-4, true_batch_size=2,
+                          scheduler="multistep", milestones=(1000,)),
+    )
+    trainer = MatcherTrainer(cfg)
+    batch = tuple_to_pair_batch(
+        [_planar_tuple(v=2, size=64, seed=s) for s in (0, 1)]
+    )
+    state = trainer.init_state(batch)
+    losses = []
+    for _ in range(10):
+        state, loss = trainer.train_step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # Overfitting two fixed pairs must trend down (allow early oscillation)
+    assert min(losses[5:]) < losses[0], losses
