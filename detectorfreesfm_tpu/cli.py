@@ -59,7 +59,7 @@ def _match_gt_names(gt: dict, image_names) -> dict:
     return out or None
 
 
-def cmd_reconstruct(args) -> int:
+def _run_scene(args) -> dict:
     from .pipeline import (
         PipelineConfig, evaluate_scene_poses, list_scene_images,
         reconstruct_scene,
@@ -96,8 +96,7 @@ def cmd_reconstruct(args) -> int:
         verbose=args.verbose,
     )
     if rec is None:
-        print(json.dumps({"status": "failed"}))
-        return 1
+        return {"status": "failed"}
     result = {
         "status": "ok",
         "n_registered": len(rec.registered_images),
@@ -107,18 +106,34 @@ def cmd_reconstruct(args) -> int:
     }
     if poses:
         result["pose_auc"] = evaluate_scene_poses(rec, poses)
+    return result
+
+
+def cmd_reconstruct(args) -> int:
+    result = _run_scene(args)
     print(json.dumps(result))
-    return 0
+    return 0 if result.get("status") == "ok" else 1
 
 
 def cmd_eval_dataset(args) -> int:
+    """All scenes of a dataset + aggregated metrics txt (reference
+    eval_dataset.py:156-190 aggregation surface, incl. IMC bag grouping)."""
+    from .eval.aggregate import aggregate_multi_scene_metrics, format_report
+
     scenes = sorted(
         d for d in os.listdir(args.dataset)
         if os.path.isdir(os.path.join(args.dataset, d, "images"))
     )
+    if args.scene_list:
+        wanted = set(args.scene_list.split(","))
+        scenes = [s for s in scenes if s in wanted]
+    if args.exclude_scenes:
+        banned = set(args.exclude_scenes.split(","))
+        scenes = [s for s in scenes if s not in banned]
     if args.n_scenes:
         scenes = scenes[: args.n_scenes]
-    all_metrics = {}
+
+    per_scene = {}
     for s in scenes:
         ns = argparse.Namespace(**vars(args))
         ns.scene = os.path.join(args.dataset, s)
@@ -126,11 +141,23 @@ def cmd_eval_dataset(args) -> int:
         ns.output = os.path.join(args.output, s)
         print(f"=== scene {s} ===", file=sys.stderr)
         try:
-            cmd_reconstruct(ns)
-            out_json = None  # metrics printed per scene by cmd_reconstruct
+            res = _run_scene(ns)
         except Exception as e:  # scene isolation, reference eval_dataset.py:88
             print(f"scene {s} failed: {e}", file=sys.stderr)
-        all_metrics[s] = out_json
+            res = {"status": "failed", "error": repr(e)}
+        print(json.dumps({"scene": s, **res}))
+        metrics = dict(res.get("pose_auc", {}))
+        metrics["registered_ratio"] = (
+            res.get("n_registered", 0) / max(res.get("n_images", 1), 1)
+        )
+        per_scene[s] = metrics
+
+    agg = aggregate_multi_scene_metrics(per_scene, group_bags=args.imc_bags)
+    report = format_report(agg, per_scene, title=os.path.basename(args.dataset))
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "metrics.txt"), "w") as f:
+        f.write(report + "\n")
+    print(report)
     return 0
 
 
@@ -288,6 +315,11 @@ def main(argv=None) -> int:
     se = sub.add_parser("eval-dataset", help="reconstruct + eval all scenes")
     se.add_argument("--dataset", required=True)
     se.add_argument("--n-scenes", type=int, default=None, dest="n_scenes")
+    se.add_argument("--scene-list", default=None, dest="scene_list",
+                    help="comma-separated scene names to include")
+    se.add_argument("--exclude-scenes", default=None, dest="exclude_scenes")
+    se.add_argument("--imc-bags", action="store_true", dest="imc_bags",
+                    help="group metrics by IMC Nbag markers in scene names")
     add_common(se)
     se.set_defaults(fn=cmd_eval_dataset)
 

@@ -1,0 +1,112 @@
+"""Dataset-level CLI: multi-scene evaluation + aggregation + triangulation."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from detectorfreesfm_tpu import cli
+from detectorfreesfm_tpu.core.geometry import quat_to_rotmat
+
+from test_pipeline import _stage_scene
+
+
+def _stage_dataset(tmp_path, n_scenes=2):
+    root = tmp_path / "dataset"
+    root.mkdir()
+    for k in range(n_scenes):
+        sdir = root / f"scene{k}_5bag"
+        sdir.mkdir()
+        image_dir, out_dir, intrins, gt = _stage_scene(sdir, n_cams=4)
+        # out artifacts must live in the eval output location; move the
+        # staged caches there later — keep them keyed by scene name
+        (sdir / "poses").mkdir()
+        (sdir / "intrins").mkdir()
+        for name, (q, t) in gt.items():
+            stem = name.rsplit(".", 1)[0]
+            R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+            m = np.eye(4)
+            m[:3, :3] = R
+            m[:3, 3] = t
+            np.savetxt(sdir / "poses" / f"{stem}.txt", m)
+            np.savetxt(sdir / "intrins" / f"{stem}.txt", intrins[name])
+    return root
+
+
+def test_eval_dataset_aggregates(tmp_path):
+    root = _stage_dataset(tmp_path)
+    out = tmp_path / "out"
+    # Move each scene's precomputed match caches into the eval output dirs
+    for k in range(2):
+        scene = f"scene{k}_5bag"
+        src = root / scene / "out"
+        dst = out / scene
+        dst.mkdir(parents=True)
+        for f in ("keypoints.h5", "matches.h5"):
+            os.rename(src / f, dst / f)
+    rc = cli.main([
+        "eval-dataset", "--dataset", str(root), "--output", str(out),
+        "--img-resize", "640", "--refine-iters", "0", "--known-intrinsics",
+        "--imc-bags",
+    ])
+    assert rc == 0
+    report = (out / "metrics.txt").read_text()
+    assert "[all]" in report and "[5bag]" in report
+    assert "auc@5" in report
+    # Both scenes reconstructed with decent AUC
+    for line in report.splitlines():
+        if line.strip().startswith("auc@5") and "[" not in line:
+            assert float(line.split(":")[1]) > 0.5
+
+
+def test_triangulation_mode_with_pointcloud_eval(tmp_path):
+    """Known-pose triangulation, then ETH3D-protocol accuracy/completeness
+    against the GT points."""
+    from detectorfreesfm_tpu.eval.pointcloud import accuracy_completeness
+    from detectorfreesfm_tpu.pipeline import PipelineConfig, reconstruct_scene
+    from detectorfreesfm_tpu.sfm.mapper import MapperConfig
+
+    from test_mapper import _multi_view_scene, _scene_to_matches
+    from detectorfreesfm_tpu.data.h5io import save_h5
+    from PIL import Image as PILImage
+
+    pts, K, poses, uvs, visible = _multi_view_scene(4, n_pts=200, seed=77)
+    keypoints, matches = _scene_to_matches(4, uvs, visible)
+    image_dir = tmp_path / "images"
+    out_dir = tmp_path / "out"
+    image_dir.mkdir()
+    out_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for n in keypoints:
+        arr = rng.integers(0, 255, (480, 640), dtype=np.uint8)
+        PILImage.fromarray(arr, "L").save(image_dir / f"{n}.png")
+    save_h5({f"{n}.png": v for n, v in keypoints.items()},
+            str(out_dir / "keypoints.h5"))
+    save_h5({f"{a}.png|{b}.png": v for (a, b), v in matches.items()},
+            str(out_dir / "matches.h5"))
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat
+
+    pose_in = {
+        f"im{i:02d}.png": (
+            np.asarray(rotmat_to_quat(jnp.asarray(poses[i][0]))), poses[i][1]
+        )
+        for i in range(4)
+    }
+    cfg = PipelineConfig(
+        img_resize=640, n_refine_iters=0, triangulation_mode=True,
+        mapper=MapperConfig(abs_pose_min_num_inliers=10),
+    )
+    rec = reconstruct_scene(
+        str(image_dir), str(out_dir), cfg,
+        intrinsics={f"{n}.png": K for n in keypoints}, poses=pose_in,
+    )
+    assert rec is not None and len(rec.points) > 100
+    # Poses must be exactly the inputs (all fixed)
+    for i in range(4):
+        im = rec.image_by_name(f"im{i:02d}.png")
+        np.testing.assert_allclose(im.tvec, poses[i][1], atol=1e-5)  # f32 BA round-trip
+    est = np.stack([p["xyz"] for p in rec.points.values()])
+    m = accuracy_completeness(est, pts, tolerances=(0.05, 0.1))
+    assert m["accuracy@0.1"] > 0.9, m
+    assert m["completeness@0.1"] > 0.5, m
