@@ -118,7 +118,9 @@ class PairMatchingEngine:
         n_dev = self.mesh.devices.size
         step = cfg.batch_size * n_dev
         out: Dict[Tuple[str, str], dict] = {}
-        for start in range(0, len(pairs), step):
+
+        def dispatch(start):
+            """Stage + launch one device batch (async); returns (chunk, n, res)."""
             chunk = list(pairs[start : start + step])
             n = len(chunk)
             n_pad = pad_to_multiple(max(n, 1), n_dev)
@@ -132,9 +134,10 @@ class PairMatchingEngine:
             hw1 = np.stack(
                 [(images[b].valid_size[1], images[b].valid_size[0]) for _, b in chunk]
             ).astype(np.int32)
-            with self.profiler.record_function("engine/match_forward"):
-                batch = shard_leading_axis((img0, img1, hw0, hw1), self.mesh)
-                res = self._forward(self.params, *batch)
+            batch = shard_leading_axis((img0, img1, hw0, hw1), self.mesh)
+            return chunk, n, self._forward(self.params, *batch)
+
+        def collect(chunk, n, res):
             c0 = np.asarray(res.coords0)
             c1 = np.asarray(res.coords1)
             conf = np.asarray(res.conf)
@@ -153,6 +156,20 @@ class PairMatchingEngine:
                     "kpts1": k1.astype(np.float32),
                     "conf": cf.astype(np.float32),
                 }
+
+        # One-deep software pipeline: dispatch batch i+1 (async jit launch +
+        # host staging) before materializing batch i's results, so host IO
+        # overlaps device compute (the reference leans on DataLoader workers
+        # for the same overlap).
+        pending = None
+        with self.profiler.record_function("engine/match_forward"):
+            for start in range(0, len(pairs), step):
+                nxt = dispatch(start)
+                if pending is not None:
+                    collect(*pending)
+                pending = nxt
+            if pending is not None:
+                collect(*pending)
         return out
 
     def match_scene(

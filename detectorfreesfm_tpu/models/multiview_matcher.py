@@ -45,6 +45,9 @@ class RefinerConfig:
     # only): also search a (2r+1)^2 grid of candidate reference positions and
     # keep the one whose query heatmaps have the smallest mean std. 0 = off.
     ref_move_radius: int = 0
+    # Rematerialize backbone activations in the backward pass (training
+    # memory <- the T*V patch batch dominates; trades ~1/3 extra FLOPs)
+    remat_backbone: bool = True
     compute_dtype: str = "float32"
 
     @property
@@ -97,8 +100,12 @@ class MultiviewRefiner(nn.Module):
         patches = extract_patches(
             images, centers, img_idx, cfg.crop_size, scales
         )  # (T*V, P, P, 1)
-        feats = S2DNet(out_dim=c, dtype=cfg.dtype, name="backbone")(
-            patches.astype(cfg.dtype), train=train
+        backbone_cls = (
+            nn.remat(S2DNet, static_argnums=(2,))
+            if (train and cfg.remat_backbone) else S2DNet
+        )
+        feats = backbone_cls(out_dim=c, dtype=cfg.dtype, name="backbone")(
+            patches.astype(cfg.dtype), train
         )  # (T*V, P, P, C)
         # Center-crop the feature window (crop_size context -> window kept)
         off = (cfg.crop_size - w) // 2

@@ -91,6 +91,7 @@ def extract_patches(
     Returns: (N, patch_size, patch_size, C).
     """
     n = centers.shape[0]
+    b, h, w, c = features.shape
     half = (patch_size - 1) / 2.0
     offs = jnp.arange(patch_size, dtype=jnp.float32) - half
     step = jnp.ones((n,), jnp.float32) if scales is None else scales.astype(jnp.float32)
@@ -98,5 +99,23 @@ def extract_patches(
     xs = centers[:, 0:1] + offs[None, :] * step[:, None]
     ys = jnp.broadcast_to(ys[:, :, None], (n, patch_size, patch_size))
     xs = jnp.broadcast_to(xs[:, None, :], (n, patch_size, patch_size))
-    per_feat = jnp.take(features, image_idx, axis=0)
-    return jax.vmap(_bilinear_gather)(per_feat, ys, xs)
+    # Flat global gather (index = img*H*W + y*W + x): never materializes a
+    # per-node copy of its image — (N, H, W, C) at refiner scale would be
+    # tens of GB for a (2000 tracks x 16 views) bag of 832px images.
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    base = (image_idx.astype(jnp.int32) * (h * w))[:, None, None]
+    flat = features.reshape(b * h * w, c)
+
+    def g(yi, xi):
+        return jnp.take(flat, base + yi * w + xi, axis=0)
+
+    top = g(y0i, x0i) * (1 - wx) + g(y0i, x1i) * wx
+    bot = g(y1i, x0i) * (1 - wx) + g(y1i, x1i) * wx
+    return top * (1 - wy) + bot * wy
