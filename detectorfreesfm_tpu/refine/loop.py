@@ -84,26 +84,70 @@ def refine_reconstruction(
     images_by_id carries full-resolution grayscale images; all bag images are
     padded to the max (H, W) in the bag so one compile serves a scene.
     """
+    import copy
+
+    from ..utils.profiler import PassThroughProfiler
+
+    profiler = PassThroughProfiler()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     Hmax = max(im.shape[0] for im in images_by_id.values())
     Wmax = max(im.shape[1] for im in images_by_id.values())
 
     for it in range(cfg.n_iters):
-        window = cfg.windows[min(it, len(cfg.windows) - 1)]
-        rcfg = RefinerConfig(
-            crop_size=window + cfg.crop_extra, window=window,
-            compute_dtype=cfg.compute_dtype,
-        )
-        model = MultiviewRefiner(rcfg)
-        model_params = params
-        apply = jax.jit(model.apply)
+        # Failure isolation (reference post_optimization.py:195-197: a failed
+        # geometry-refinement iteration falls back to the unrefined model)
+        snapshot = copy.deepcopy((
+            {i: (im.qvec.copy() if im.registered else None,
+                 im.tvec.copy() if im.registered else None,
+                 im.xys.copy(), im.point3D_ids.copy())
+             for i, im in rec.images.items()},
+            {p: {"xyz": pt["xyz"].copy(), "track": list(pt["track"])}
+             for p, pt in rec.points.items()},
+        ))
+        try:
+            _refine_iteration(
+                rec, images_by_id, params, cfg, mapper, rng, verbose,
+                it, Hmax, Wmax, profiler,
+            )
+        except Exception as e:  # noqa: BLE001
+            if verbose:
+                print(f"refine iter {it} failed ({e!r}); keeping previous model")
+            img_snap, pt_snap = snapshot
+            for i, (q, t, xys, pids) in img_snap.items():
+                im = rec.images[i]
+                im.qvec, im.tvec = q, t
+                im.xys, im.point3D_ids = xys, pids
+            rec.points = {
+                p: {"xyz": d["xyz"], "rgb": rec.points.get(p, {}).get(
+                    "rgb", np.array([128, 128, 128], np.uint8)),
+                    "error": -1.0, "track": d["track"]}
+                for p, d in pt_snap.items()
+            }
+            break
+    return rec
 
+
+def _refine_iteration(
+    rec, images_by_id, params, cfg, mapper, rng, verbose, it, Hmax, Wmax,
+    profiler,
+):
+    window = cfg.windows[min(it, len(cfg.windows) - 1)]
+    rcfg = RefinerConfig(
+        crop_size=window + cfg.crop_extra, window=window,
+        compute_dtype=cfg.compute_dtype,
+    )
+    model = MultiviewRefiner(rcfg)
+    model_params = params
+    apply = jax.jit(model.apply)
+
+    with profiler.record_function("refine/pack_bags"):
         bags = pack_track_bags(
             rec, max_track_length=cfg.max_track_length,
             chunk_tracks=cfg.chunk_tracks,
         )
-        if verbose:
-            print(f"refine iter {it}: {len(bags)} bags, window {window}")
+    if verbose:
+        print(f"refine iter {it}: {len(bags)} bags, window {window}")
+    with profiler.record_function("refine/multiview_match"):
         for bag in bags:
             T = len(bag.point_ids)
             t_pad = cfg.chunk_tracks
@@ -139,23 +183,24 @@ def refine_reconstruction(
                     kpt = int(bag.node_kpt[r, vpos])
                     rec.images[img_id].xys[kpt] = coords[r, vpos]
 
-        # Geometry refinement: BA (farthest-pair gauge) + filter
-        m = mapper or IncrementalMapper(MapperConfig())
-        if not hasattr(m, "names"):
-            # allow running on a standalone reconstruction
-            m.names = [im.name for im in rec.images.values()]
-            m.name_to_id = {im.name: i for i, im in rec.images.items()}
-        thr = cfg.filter_thresholds[min(it, len(cfg.filter_thresholds) - 1)]
+    # Geometry refinement: BA (farthest-pair gauge) + filter
+    m = mapper or IncrementalMapper(MapperConfig())
+    if not hasattr(m, "names"):
+        # allow running on a standalone reconstruction
+        m.names = [im.name for im in rec.images.values()]
+        m.name_to_id = {im.name: i for i, im in rec.images.items()}
+    thr = cfg.filter_thresholds[min(it, len(cfg.filter_thresholds) - 1)]
+    with profiler.record_function("refine/geometry_refinement"):
         m.retriangulate(rec)  # structure follows the refined 2D points
         m.global_ba(rec, fixed_ids=_farthest_pair(rec))
         n_rm = m.filter_points(rec, thr, cfg.min_tri_angle_deg)
-        if verbose:
-            print(f"  BA done, filtered {n_rm} at {thr}px")
+    if verbose:
+        print(f"  BA done, filtered {n_rm} at {thr}px")
 
-        # Re-registration of dropped images (even iterations)
-        if (it % cfg.reregister_every) == 0 and mapper is not None:
-            for img_id in list(rec.images):
-                if not rec.images[img_id].registered:
-                    if mapper._try_register(rec, img_id) and verbose:
-                        print(f"  re-registered image {img_id}")
+    # Re-registration of dropped images (even iterations)
+    if (it % cfg.reregister_every) == 0 and mapper is not None:
+        for img_id in list(rec.images):
+            if not rec.images[img_id].registered:
+                if mapper._try_register(rec, img_id) and verbose:
+                    print(f"  re-registered image {img_id}")
     return rec

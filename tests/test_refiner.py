@@ -114,3 +114,29 @@ def test_refiner_reference_movement():
     assert (d_ref <= 2.0 + 1e-5).all()
     half = (cfg.window - 1) / 2
     assert (np.abs(c[:, 1:] - xy[:, 1:]) <= half + 1e-4).all()
+
+
+def test_refine_loop_failure_fallback(monkeypatch):
+    """A crashing geometry-refinement iteration must leave the model as it
+    was before that iteration (reference post_optimization.py:195-197)."""
+    rec, mapper = _small_reconstruction()
+    poses_before = {
+        i: (rec.images[i].qvec.copy(), rec.images[i].tvec.copy())
+        for i in rec.registered_images
+    }
+    pts_before = {p: rec.points[p]["xyz"].copy() for p in rec.points}
+    images = {i: np.full((480, 640), 0.5, np.float32) for i in rec.images}
+
+    def boom(*a, **k):
+        raise RuntimeError("BA exploded")
+
+    monkeypatch.setattr(mapper, "global_ba", boom)
+    cfg = RefineConfig(n_iters=2, windows=(7,), chunk_tracks=128)
+    out = refine_reconstruction(rec, images, cfg=cfg, mapper=mapper)
+    assert out is rec
+    assert set(rec.points) == set(pts_before)
+    for i, (q, t) in poses_before.items():
+        np.testing.assert_allclose(rec.images[i].qvec, q)
+        np.testing.assert_allclose(rec.images[i].tvec, t)
+    for p, xyz in pts_before.items():
+        np.testing.assert_allclose(rec.points[p]["xyz"], xyz)
