@@ -56,6 +56,24 @@ def _pad_pow2(n: int, lo: int = 64) -> int:
     return m
 
 
+def _camera_cache(rec: Reconstruction) -> Dict[int, tuple]:
+    """{img_id: (R, t, C, K)} numpy for all registered images, built with ONE
+    batched quat->rotmat call (per-observation jnp dispatches made the old
+    per-track loops minutes-slow at real scene scale)."""
+    from ..core.geometry import quat_to_rotmat
+
+    reg = rec.registered_images
+    if not reg:
+        return {}
+    q = np.stack([rec.images[i].qvec for i in reg])
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)), np.float64)
+    out = {}
+    for k, i in enumerate(reg):
+        t = rec.images[i].tvec
+        out[i] = (R[k], t, -R[k].T @ t, rec.K_of_image(i))
+    return out
+
+
 class IncrementalMapper:
     """One scene. Usage: mapper = IncrementalMapper(cfg); rec = mapper.run(...)."""
 
@@ -151,11 +169,13 @@ class IncrementalMapper:
         track_ids: Sequence[int], min_angle_deg: float, max_error: float,
     ) -> Dict[int, Tuple[np.ndarray, List[Tuple[int, int]]]]:
         """Triangulate each candidate track from its currently-registered
-        observations; returns {track_id: (xyz, obs_used)} for accepted ones."""
-        reg = set(rec.registered_images)
+        observations; returns {track_id: (xyz, obs_used)} for accepted ones.
+        All geometry checks run as vectorized numpy over padded (n, V)
+        arrays using a batched camera cache."""
+        cache = _camera_cache(rec)
         cand = []
         for tid in track_ids:
-            obs = [(i, k) for (i, k) in tracks[tid].observations if i in reg]
+            obs = [(i, k) for (i, k) in tracks[tid].observations if i in cache]
             if len(obs) >= 2:
                 cand.append((tid, obs))
         if not cand:
@@ -166,57 +186,49 @@ class IncrementalMapper:
         P = np.zeros((n_pad, V, 3, 4), np.float32)
         UV = np.zeros((n_pad, V, 2), np.float32)
         M = np.zeros((n_pad, V), bool)
+        R_arr = np.zeros((n, V, 3, 3))
+        t_arr = np.zeros((n, V, 3))
+        C_arr = np.zeros((n, V, 3))
+        K_arr = np.zeros((n, V, 3, 3))
         for r, (tid, obs) in enumerate(cand):
             for v, (img_id, kpt) in enumerate(obs):
-                im = rec.images[img_id]
-                K = rec.K_of_image(img_id)
-                P[r, v] = np.asarray(
-                    projection_matrices(
-                        jnp.asarray(im.qvec), jnp.asarray(im.tvec), jnp.asarray(K)
-                    )
-                )
-                UV[r, v] = im.xys[kpt]
+                R, t, C, K = cache[img_id]
+                P[r, v, :, :3] = K @ R
+                P[r, v, :, 3] = K @ t
+                UV[r, v] = rec.images[img_id].xys[kpt]
                 M[r, v] = True
+                R_arr[r, v], t_arr[r, v], C_arr[r, v], K_arr[r, v] = R, t, C, K
         X, ok = triangulate_dlt(jnp.asarray(P), jnp.asarray(UV), jnp.asarray(M))
-        X = np.asarray(X, np.float64)
-        ok = np.asarray(ok)
+        X = np.asarray(X[:n], np.float64)
+        ok = np.asarray(ok[:n]) & np.all(np.isfinite(X), axis=1)
+
+        # Vectorized cheirality + reprojection checks over (n, V)
+        live = M[:n]
+        Xc = np.einsum("nvij,nj->nvi", R_arr, X) + t_arr
+        z = Xc[..., 2]
+        front = z > 1e-6
+        z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        uvp = np.einsum("nvij,nvj->nvi", K_arr, Xc / z_safe[..., None])[..., :2]
+        err = np.linalg.norm(uvp - UV[:n], axis=-1)
+        good = live & front & (err <= max_error) & ok[:, None]
+
+        # Max pairwise triangulation angle over surviving observations
+        rays = C_arr - X[:, None, :]
+        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+        cosang = np.einsum("nvi,nwi->nvw", rays, rays)
+        pair_ok = good[:, :, None] & good[:, None, :]
+        np.clip(cosang, -1.0, 1.0, out=cosang)
+        ang = np.degrees(np.arccos(cosang))
+        ang = np.where(pair_ok, ang, 0.0)
+        max_ang = ang.max(axis=(1, 2))
 
         accepted: Dict[int, Tuple[np.ndarray, list]] = {}
         for r, (tid, obs) in enumerate(cand):
-            if not ok[r] or not np.all(np.isfinite(X[r])):
+            g = good[r]
+            if g.sum() < 2 or max_ang[r] < min_angle_deg:
                 continue
-            xyz = X[r]
-            # Cheirality + reprojection + triangulation-angle checks (host,
-            # small per-track loops; vectorize later if it shows up in prof)
-            good_obs = []
-            centers = []
-            for (img_id, kpt) in obs:
-                im = rec.images[img_id]
-                K = rec.K_of_image(img_id)
-                from ..core.geometry import camera_center, quat_to_rotmat
-
-                R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
-                Xc = R @ xyz + im.tvec
-                if Xc[2] <= 1e-6:
-                    continue
-                uv = (K @ (Xc / Xc[2]))[:2]
-                if np.linalg.norm(uv - im.xys[kpt]) > max_error:
-                    continue
-                good_obs.append((img_id, kpt))
-                centers.append(np.asarray(camera_center(
-                    jnp.asarray(im.qvec), jnp.asarray(im.tvec))))
-            if len(good_obs) < 2:
-                continue
-            # max pairwise triangulation angle
-            rays = [(c - xyz) / max(np.linalg.norm(c - xyz), 1e-12) for c in centers]
-            max_ang = 0.0
-            for a in range(len(rays)):
-                for b in range(a + 1, len(rays)):
-                    cosang = np.clip(np.dot(rays[a], rays[b]), -1.0, 1.0)
-                    max_ang = max(max_ang, np.degrees(np.arccos(cosang)))
-            if max_ang < min_angle_deg:
-                continue
-            accepted[tid] = (xyz, good_obs)
+            good_obs = [obs[v] for v in range(len(obs)) if g[v]]
+            accepted[tid] = (X[r], good_obs)
         return accepted
 
     # -- registration ----------------------------------------------------------------
@@ -340,44 +352,53 @@ class IncrementalMapper:
     def filter_points(self, rec: Reconstruction, max_error: float,
                       min_angle_deg: float) -> int:
         """Drop observations with reproj error > max_error; drop points whose
-        max triangulation angle < min_angle or track < 2. Returns #removed."""
-        from ..core.geometry import camera_center, quat_to_rotmat
+        max triangulation angle < min_angle or track < 2. Returns #removed.
+        Vectorized over a padded (P, T) observation table."""
+        pids = sorted(rec.points)
+        if not pids:
+            return 0
+        cache = _camera_cache(rec)
+        T = max(len(rec.points[p]["track"]) for p in pids)
+        n = len(pids)
+        X = np.stack([rec.points[p]["xyz"] for p in pids])
+        R_arr = np.zeros((n, T, 3, 3))
+        t_arr = np.zeros((n, T, 3))
+        C_arr = np.zeros((n, T, 3))
+        K_arr = np.zeros((n, T, 3, 3))
+        UV = np.zeros((n, T, 2))
+        live = np.zeros((n, T), bool)
+        for r, pid in enumerate(pids):
+            for v, (img_id, kpt) in enumerate(rec.points[pid]["track"]):
+                if img_id not in cache:
+                    continue
+                R, t, C, K = cache[img_id]
+                R_arr[r, v], t_arr[r, v], C_arr[r, v], K_arr[r, v] = R, t, C, K
+                UV[r, v] = rec.images[img_id].xys[kpt]
+                live[r, v] = True
+        Xc = np.einsum("nvij,nj->nvi", R_arr, X) + t_arr
+        z = Xc[..., 2]
+        front = z > 1e-6
+        z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        uvp = np.einsum("nvij,nvj->nvi", K_arr, Xc / z_safe[..., None])[..., :2]
+        err = np.linalg.norm(uvp - UV, axis=-1)
+        good = live & front & (err <= max_error)
+        rays = C_arr - X[:, None, :]
+        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+        cosang = np.clip(np.einsum("nvi,nwi->nvw", rays, rays), -1.0, 1.0)
+        ang = np.degrees(np.arccos(cosang))
+        ang = np.where(good[:, :, None] & good[:, None, :], ang, 0.0)
+        max_ang = ang.max(axis=(1, 2))
 
         removed = 0
-        for pid in list(rec.points):
-            pt = rec.points[pid]
-            xyz = pt["xyz"]
-            bad = []
-            centers = []
-            for (img_id, kpt) in pt["track"]:
-                im = rec.images[img_id]
-                K = rec.K_of_image(img_id)
-                R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
-                Xc = R @ xyz + im.tvec
-                if Xc[2] <= 1e-6:
-                    bad.append((img_id, kpt))
-                    continue
-                uv = (K @ (Xc / Xc[2]))[:2]
-                if np.linalg.norm(uv - im.xys[kpt]) > max_error:
-                    bad.append((img_id, kpt))
-                else:
-                    centers.append(np.asarray(camera_center(
-                        jnp.asarray(im.qvec), jnp.asarray(im.tvec))))
+        for r, pid in enumerate(pids):
+            track = list(rec.points[pid]["track"])
+            bad = [track[v] for v in range(len(track)) if live[r, v] and not good[r, v]]
+            # also drop observations of unregistered images (live False rows)
+            bad += [track[v] for v in range(len(track)) if not live[r, v]]
             for (img_id, kpt) in bad:
                 rec.remove_observation(pid, img_id, kpt)
                 removed += 1
-            if pid not in rec.points:
-                continue
-            max_ang = 0.0
-            for a in range(len(centers)):
-                ra = (centers[a] - xyz)
-                ra = ra / max(np.linalg.norm(ra), 1e-12)
-                for b in range(a + 1, len(centers)):
-                    rb = centers[b] - xyz
-                    rb = rb / max(np.linalg.norm(rb), 1e-12)
-                    cosang = np.clip(np.dot(ra, rb), -1.0, 1.0)
-                    max_ang = max(max_ang, np.degrees(np.arccos(cosang)))
-            if max_ang < min_angle_deg:
+            if pid in rec.points and max_ang[r] < min_angle_deg:
                 rec.remove_point(pid)
                 removed += 1
         return removed
@@ -501,21 +522,29 @@ class IncrementalMapper:
     def _complete_image(self, rec: Reconstruction, img_id: int):
         """Add this image's observations to already-triangulated tracks when
         they reproject within threshold (COLMAP tri-complete semantics)."""
-        from ..core.geometry import quat_to_rotmat
-
         cfg = self.cfg
         im = rec.images[img_id]
-        K = rec.K_of_image(img_id)
-        R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
+        cache = _camera_cache(rec)
+        if img_id not in cache:
+            return
+        R, t, _C, K = cache[img_id]
+        cand = []
         for kpt, tid in self.kpt_track.get(img_id, {}).items():
             pid = int(self.track_pid[tid])
             if pid < 0 or pid not in rec.points or im.point3D_ids[kpt] >= 0:
                 continue
-            xyz = rec.points[pid]["xyz"]
-            Xc = R @ xyz + im.tvec
-            if Xc[2] <= 1e-6:
-                continue
-            uv = (K @ (Xc / Xc[2]))[:2]
-            if np.linalg.norm(uv - im.xys[kpt]) <= cfg.filter_max_reproj_error:
+            cand.append((kpt, pid))
+        if not cand:
+            return
+        X = np.stack([rec.points[pid]["xyz"] for _, pid in cand])
+        uv_obs = np.stack([im.xys[kpt] for kpt, _ in cand])
+        Xc = X @ R.T + t
+        z = Xc[:, 2]
+        z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        uvp = (Xc / z_safe[:, None]) @ K.T
+        err = np.linalg.norm(uvp[:, :2] - uv_obs, axis=-1)
+        ok = (z > 1e-6) & (err <= cfg.filter_max_reproj_error)
+        for (kpt, pid), good in zip(cand, ok):
+            if good:
                 im.point3D_ids[kpt] = pid
                 rec.points[pid]["track"].append((img_id, kpt))
