@@ -25,7 +25,7 @@ BASELINE_PAIRS_PER_S = 10.0
 def main():
     on_tpu = jax.default_backend() == "tpu"
     size = 832 if on_tpu else 128
-    batch = 8 if on_tpu else 2
+    batch = 16 if on_tpu else 2
     iters = 10 if on_tpu else 2
     cfg = MatcherConfig(
         compute_dtype="bfloat16" if on_tpu else "float32",

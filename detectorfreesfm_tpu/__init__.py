@@ -23,3 +23,17 @@ Layering (bottom → top):
 """
 
 __version__ = "0.1.0"
+
+
+def reconstruct_scene(*args, **kwargs):
+    """Convenience re-export of pipeline.reconstruct_scene (lazy import)."""
+    from .pipeline import reconstruct_scene as _f
+
+    return _f(*args, **kwargs)
+
+
+def build_matcher(*args, **kwargs):
+    """Convenience re-export of models.build_matcher (lazy import)."""
+    from .models import build_matcher as _f
+
+    return _f(*args, **kwargs)

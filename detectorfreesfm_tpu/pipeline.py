@@ -202,7 +202,9 @@ def reconstruct_scene(
             # refinement runs at network resolution; rescale kpts to it
             images_by_id[img_id] = li.data
             im.xys = im.xys / li.scale[None, :]
-        rcfg = dataclasses.replace(cfg.refine, n_iters=cfg.n_refine_iters)
+        rcfg = dataclasses.replace(
+            cfg.refine, n_iters=cfg.n_refine_iters, save_iters_to=output_dir
+        )
         refine_reconstruction(
             rec, images_by_id, params=refiner_params, cfg=rcfg,
             mapper=mapper, verbose=verbose,
@@ -216,6 +218,18 @@ def reconstruct_scene(
             im.xys = im.xys * li_scale[None, :]
     os.makedirs(refined_dir, exist_ok=True)
     rec.write(refined_dir)
+    # Viewer-friendly dumps (reference vis3d exports, SURVEY.md §5)
+    colmap_io.write_ply(
+        rec.to_colmap()[2], os.path.join(refined_dir, "points.ply")
+    )
+    try:
+        from .utils.vis import export_reconstruction_ply
+
+        export_reconstruction_ply(
+            rec, os.path.join(refined_dir, "cameras_points.ply")
+        )
+    except Exception:
+        pass
     return rec
 
 

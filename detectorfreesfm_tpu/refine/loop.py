@@ -45,6 +45,8 @@ class RefineConfig:
     chunk_tracks: int = 512
     reregister_every: int = 2
     compute_dtype: str = "float32"
+    save_iters_to: str | None = None  # write model_refined_{i}/ per iteration
+                                      # (reference post_optimization artifact)
 
 
 def _farthest_pair(rec: Reconstruction) -> set:
@@ -109,6 +111,12 @@ def refine_reconstruction(
                 rec, images_by_id, params, cfg, mapper, rng, verbose,
                 it, Hmax, Wmax, profiler,
             )
+            if cfg.save_iters_to:
+                import os
+
+                d = os.path.join(cfg.save_iters_to, f"model_refined_{it}")
+                os.makedirs(d, exist_ok=True)
+                rec.write(d)
         except Exception as e:  # noqa: BLE001
             if verbose:
                 print(f"refine iter {it} failed ({e!r}); keeping previous model")
