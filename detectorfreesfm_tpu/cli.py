@@ -89,10 +89,20 @@ def _run_scene(args) -> dict:
     poses = _match_gt_names(poses, names)
     intrins = _match_gt_names(intrins, names)
 
+    matcher_params = None
+    if getattr(args, "matcher_ckpt", None):
+        from .models.loftr import MatcherConfig
+        from .train.selfsup import load_matcher_params
+
+        matcher_params = load_matcher_params(
+            args.matcher_ckpt,
+            cfg=MatcherConfig(compute_dtype=args.dtype),
+        )
     rec = reconstruct_scene(
         image_dir, args.output, cfg,
         intrinsics=intrins,
         poses=poses if args.triangulation else None,
+        matcher_params=matcher_params,
         verbose=args.verbose,
     )
     if rec is None:
@@ -282,6 +292,17 @@ def cmd_train_matcher(args) -> int:
     return 0
 
 
+def cmd_train_matcher_selfsup(args) -> int:
+    from .train.selfsup import train_matcher_selfsup
+
+    train_matcher_selfsup(
+        args.images, args.output, steps=args.steps, img_size=args.img_resize,
+        batch=args.batch_size, lr=args.lr,
+        compute_dtype=args.dtype_train, log_every=args.log_every,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="detectorfreesfm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -304,6 +325,8 @@ def main(argv=None) -> int:
                         choices=["float32", "bfloat16"])
         sp.add_argument("--redo", action="store_true")
         sp.add_argument("--verbose", action="store_true")
+        sp.add_argument("--matcher-ckpt", default=None, dest="matcher_ckpt",
+                        help="trained matcher checkpoint (.msgpack)")
 
     sr = sub.add_parser("reconstruct", help="reconstruct one scene")
     sr.add_argument("--images", default=None, help="image directory")
@@ -348,6 +371,19 @@ def main(argv=None) -> int:
     sm.add_argument("--dtype-train", default="float32", dest="dtype_train",
                     choices=["float32", "bfloat16"])
     sm.set_defaults(fn=cmd_train_matcher)
+
+    ss = sub.add_parser("train-matcher-selfsup",
+                        help="homography self-supervised matcher bootstrap")
+    ss.add_argument("--images", required=True)
+    ss.add_argument("--output", required=True, help="checkpoint .msgpack path")
+    ss.add_argument("--steps", type=int, default=1000)
+    ss.add_argument("--batch-size", type=int, default=4, dest="batch_size")
+    ss.add_argument("--img-resize", type=int, default=416, dest="img_resize")
+    ss.add_argument("--lr", type=float, default=1e-3)
+    ss.add_argument("--log-every", type=int, default=50, dest="log_every")
+    ss.add_argument("--dtype-train", default="float32", dest="dtype_train",
+                    choices=["float32", "bfloat16"])
+    ss.set_defaults(fn=cmd_train_matcher_selfsup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -46,6 +46,7 @@ class PipelineConfig:
     round_matches_ratio: Optional[int] = None
     batch_size: int = 1
     compute_dtype: str = "float32"
+    fused_matching: bool = False
     # sfm
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
     # refinement
@@ -114,6 +115,7 @@ def _match_stage(
             max_matches=cfg.max_matches, batch_size=cfg.batch_size,
             round_matches_ratio=cfg.round_matches_ratio,
             compute_dtype=cfg.compute_dtype,
+            fused_matching=cfg.fused_matching,
         ))
     pairs = (
         exhaustive_pairs(names) if cfg.pair_mode == "exhaustive"
@@ -162,6 +164,7 @@ def reconstruct_scene(
             max_matches=cfg.max_matches, batch_size=cfg.batch_size,
             round_matches_ratio=cfg.round_matches_ratio,
             compute_dtype=cfg.compute_dtype,
+            fused_matching=cfg.fused_matching,
         ), params=matcher_params)
     keypoints, match_indices = _match_stage(
         cfg, image_dir, names, output_dir, engine
