@@ -80,6 +80,7 @@ def _run_scene(args) -> dict:
         mapper=MapperConfig(
             refine_focal=not args.known_intrinsics,
             min_model_size=args.min_model_size,
+            abs_pose_min_num_inliers=args.min_inliers,
         ),
     )
     scene = args.scene or args.images
@@ -293,12 +294,20 @@ def cmd_train_matcher(args) -> int:
 
 
 def cmd_train_matcher_selfsup(args) -> int:
-    from .train.selfsup import train_matcher_selfsup
+    from .train.selfsup import load_matcher_params, train_matcher_selfsup
 
+    init = None
+    if args.init_ckpt:
+        from .models.loftr import MatcherConfig
+
+        init = load_matcher_params(
+            args.init_ckpt, cfg=MatcherConfig(compute_dtype=args.dtype_train)
+        )
     train_matcher_selfsup(
         args.images, args.output, steps=args.steps, img_size=args.img_resize,
         batch=args.batch_size, lr=args.lr,
         compute_dtype=args.dtype_train, log_every=args.log_every,
+        init_params=init,
     )
     return 0
 
@@ -327,6 +336,10 @@ def main(argv=None) -> int:
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--matcher-ckpt", default=None, dest="matcher_ckpt",
                         help="trained matcher checkpoint (.msgpack)")
+        sp.add_argument("--min-inliers", type=int, default=30,
+                        dest="min_inliers",
+                        help="PnP registration inlier floor (reference"
+                             " abs_pose_min_num_inliers)")
 
     sr = sub.add_parser("reconstruct", help="reconstruct one scene")
     sr.add_argument("--images", default=None, help="image directory")
@@ -383,6 +396,8 @@ def main(argv=None) -> int:
     ss.add_argument("--log-every", type=int, default=50, dest="log_every")
     ss.add_argument("--dtype-train", default="float32", dest="dtype_train",
                     choices=["float32", "bfloat16"])
+    ss.add_argument("--init-ckpt", default=None, dest="init_ckpt",
+                    help="warm-start from a previous checkpoint")
     ss.set_defaults(fn=cmd_train_matcher_selfsup)
 
     args = p.parse_args(argv)

@@ -26,15 +26,20 @@ def coarse_focal_loss(
     valid_rows: jax.Array | None = None,  # (B, L) bool — rows inside image
     alpha: float = 0.25,
     gamma: float = 2.0,
-    eps: float = 1e-6,
+    eps: float = 1e-20,
 ) -> jax.Array:
     """Focal BCE over the assignment matrix, positives vs. sampled negatives.
 
     Positive cells are (l, gt_idx1[l]); every other cell in a matched row and
     all cells of unmatched valid rows are negatives. Returns a scalar.
+
+    eps only guards log(0) — it must sit far below the smallest meaningful
+    confidence: at a 52x52 grid the random-init dual-softmax product is
+    ~(1/2704)^2 = 1.4e-7, and an earlier 1e-6 clip floor zeroed every
+    positive's gradient (training silently flatlined at 0.25*(-log 1e-6)).
     """
     b, l, s = conf.shape
-    conf = jnp.clip(conf.astype(jnp.float32), eps, 1.0 - eps)
+    conf = jnp.clip(conf.astype(jnp.float32), 0.0, 1.0 - 1e-6)
     matched = gt_idx1 >= 0
     if valid_rows is not None:
         matched = matched & valid_rows
@@ -43,8 +48,8 @@ def coarse_focal_loss(
         ..., None
     ].astype(jnp.float32)
 
-    pos_w = alpha * (1.0 - conf) ** gamma * (-jnp.log(conf))
-    neg_w = (1.0 - alpha) * conf**gamma * (-jnp.log(1.0 - conf))
+    pos_w = alpha * (1.0 - conf) ** gamma * (-jnp.log(conf + eps))
+    neg_w = (1.0 - alpha) * conf**gamma * (-jnp.log(1.0 - conf + eps))
     row_live = (
         valid_rows.astype(jnp.float32)
         if valid_rows is not None
