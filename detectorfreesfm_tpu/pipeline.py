@@ -61,6 +61,11 @@ class PipelineConfig:
     redo_refine: bool = False
     triangulation_mode: bool = False
     n_images: Optional[int] = None  # debug clamp (reference base.yaml:33)
+    # Detector-free keypoints live on an 8px grid at *network* resolution;
+    # mapper thresholds are original-resolution pixels. When images are much
+    # larger than img_resize, a grid cell spans many original pixels and
+    # fixed thresholds starve RANSAC — scale them by the mean resize factor.
+    auto_scale_thresholds: bool = True
 
 
 def list_scene_images(image_dir: str, n_images: Optional[int] = None) -> List[str]:
@@ -171,7 +176,18 @@ def reconstruct_scene(
     )
 
     coarse_dir = os.path.join(output_dir, "colmap_coarse")
-    mapper = IncrementalMapper(cfg.mapper)
+    mapper_cfg = cfg.mapper
+    if cfg.auto_scale_thresholds:
+        f = float(np.mean([max(w, h) for (w, h) in sizes.values()]))
+        f = max(1.0, f / cfg.img_resize)
+        mapper_cfg = dataclasses.replace(
+            mapper_cfg,
+            geometry_verify_thr=cfg.mapper.geometry_verify_thr * f,
+            init_max_error=cfg.mapper.init_max_error * f,
+            abs_pose_max_error=cfg.mapper.abs_pose_max_error * f,
+            filter_max_reproj_error=cfg.mapper.filter_max_reproj_error * f,
+        )
+    mapper = IncrementalMapper(mapper_cfg)
     if not cfg.redo_sfm and os.path.isdir(coarse_dir) and os.listdir(coarse_dir):
         cams, imgs, pts = colmap_io.read_model(coarse_dir)
         rec = Reconstruction.from_colmap(cams, imgs, pts)

@@ -43,6 +43,11 @@ class MapperConfig:
     tri_ignore_two_view_tracks: bool = False
     default_focal_factor: float = 1.2  # COLMAP prior when intrinsics unknown
     refine_focal: bool = False         # refine focal in BA (unknown-intrinsics mode)
+    # Unknown-intrinsics focal search: re-run two-view RANSAC at several
+    # focal factors and vote a per-image focal from the winning factors
+    # (phototourism focals vary several-fold around any single prior; COLMAP
+    # leans on EXIF + per-registration focal refinement for the same reason)
+    focal_search_factors: tuple = (0.6, 1.0, 1.6)
     ba_global_images_ratio: float = 1.3  # global BA when model grew by this
     max_init_trials: int = 5
     ransac_hypotheses: int = 512
@@ -120,12 +125,21 @@ class IncrementalMapper:
         self,
         rec: Reconstruction,
         match_indices: Dict[Tuple[str, str], np.ndarray],
+        focal_search: bool = False,
     ) -> Dict[Tuple[int, int], dict]:
         """RANSAC-verify every pair; returns {(id0, id1): {matches, qvec,
         tvec, n_inliers}} with only inlier matches kept (the role of hloc's
-        geometric verification import)."""
+        geometric verification import).
+
+        With focal_search, each pair is verified at several focal factors and
+        the best factor's result is kept; afterwards every camera's focal is
+        rescaled to the median winning factor of its pairs (then refined
+        further by BA when cfg.refine_focal).
+        """
         cfg = self.cfg
+        factors = cfg.focal_search_factors if focal_search else (1.0,)
         out: Dict[Tuple[int, int], dict] = {}
+        votes: Dict[int, list] = {}
         for (na, nb) in sorted(match_indices):
             m = np.asarray(match_indices[(na, nb)])
             if len(m) < 8:
@@ -135,31 +149,50 @@ class IncrementalMapper:
             uv0 = rec.images[ia].xys[m[:, 0]]
             uv1 = rec.images[ib].xys[m[:, 1]]
             n_pad = _pad_pow2(len(m))
-            x0 = np.zeros((n_pad, 2), np.float32)
-            x1 = np.zeros((n_pad, 2), np.float32)
-            x0[: len(m)] = np.asarray(
-                normalize_points(jnp.asarray(uv0), jnp.asarray(Ka))
-            )
-            x1[: len(m)] = np.asarray(
-                normalize_points(jnp.asarray(uv1), jnp.asarray(Kb))
-            )
-            mask = np.zeros(n_pad, bool)
-            mask[: len(m)] = True
-            f_mean = float(np.mean([Ka[0, 0], Ka[1, 1], Kb[0, 0], Kb[1, 1]]))
-            res = estimate_relative_pose(
-                jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
-                self._next_rng(), threshold=cfg.geometry_verify_thr / f_mean,
-                n_hypotheses=cfg.ransac_hypotheses,
-            )
+            best = None
+            for fac in factors:
+                Kaf = Ka.copy(); Kaf[0, 0] *= fac; Kaf[1, 1] *= fac
+                Kbf = Kb.copy(); Kbf[0, 0] *= fac; Kbf[1, 1] *= fac
+                x0 = np.zeros((n_pad, 2), np.float32)
+                x1 = np.zeros((n_pad, 2), np.float32)
+                x0[: len(m)] = np.asarray(
+                    normalize_points(jnp.asarray(uv0), jnp.asarray(Kaf))
+                )
+                x1[: len(m)] = np.asarray(
+                    normalize_points(jnp.asarray(uv1), jnp.asarray(Kbf))
+                )
+                mask = np.zeros(n_pad, bool)
+                mask[: len(m)] = True
+                f_mean = float(np.mean([Kaf[0, 0], Kaf[1, 1],
+                                        Kbf[0, 0], Kbf[1, 1]]))
+                res = estimate_relative_pose(
+                    jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
+                    self._next_rng(),
+                    threshold=cfg.geometry_verify_thr / f_mean,
+                    n_hypotheses=cfg.ransac_hypotheses,
+                )
+                n_inl = int(res.n_inliers)
+                if best is None or n_inl > best[0]:
+                    best = (n_inl, fac, res)
+            n_inl, fac, res = best
             inl = np.asarray(res.inliers)[: len(m)]
             if inl.sum() < 8:
                 continue
+            votes.setdefault(ia, []).append(fac)
+            votes.setdefault(ib, []).append(fac)
             out[(ia, ib)] = {
                 "matches": m[inl],
                 "qvec": np.asarray(res.qvec, np.float64),
                 "tvec": np.asarray(res.tvec, np.float64),
                 "n_inliers": int(inl.sum()),
             }
+        if focal_search:
+            for img_id, fs in votes.items():
+                fac = float(np.median(fs))
+                cam = rec.cameras[rec.images[img_id].camera_id]
+                cam.params = cam.params.copy()
+                cam.params[0] *= fac
+                cam.params[1] *= fac
         return out
 
     # -- triangulation helpers -----------------------------------------------------
@@ -415,7 +448,9 @@ class IncrementalMapper:
     ) -> Optional[Reconstruction]:
         cfg = self.cfg
         rec = self._setup(keypoints, image_sizes, intrinsics)
-        verified = self.verify_pairs(rec, match_indices)
+        verified = self.verify_pairs(
+            rec, match_indices, focal_search=intrinsics is None
+        )
         if not verified:
             return None
 
@@ -487,19 +522,11 @@ class IncrementalMapper:
                     progress = True
                     if verbose:
                         print(f"registered image {img_id} ({cnt} corrs)")
-                    # Triangulate/complete tracks seen by this image
-                    tids = [
-                        tid for tid in self.kpt_track.get(img_id, {}).values()
-                        if self.track_pid[tid] < 0
-                    ]
-                    tri = self._triangulate_tracks(
-                        rec, tracks, sorted(set(tids)),
-                        cfg.min_tri_angle_deg, cfg.filter_max_reproj_error,
-                    )
-                    for tid, (xyz, obs) in tri.items():
-                        pid = rec.add_point(xyz, obs)
-                        if pid >= 0:
-                            self.track_pid[tid] = pid
+                    # Triangulate ALL pending tracks with >=2 registered
+                    # views (COLMAP keeps retriangulating each round — only
+                    # doing the new image's tracks starves later
+                    # registrations of 2D-3D correspondences)
+                    self._triangulate_pending(rec)
                     # Complete existing points with this image's observations
                     self._complete_image(rec, img_id)
                     n_reg = len(rec.registered_images)
@@ -508,16 +535,62 @@ class IncrementalMapper:
                         self.filter_points(
                             rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg
                         )
+                        self._triangulate_pending(rec)
                         last_ba_size = n_reg
                     break
             if not progress:
                 break
 
-        self.global_ba(rec, fixed_ids=set(init_pair))
-        self.filter_points(rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg)
+        # Fixpoint: a global BA + filter cleans the model enough that
+        # previously-failed registrations (inlier-ratio rejections against a
+        # dirty point set) can succeed — keep alternating until no progress.
+        for _ in range(len(rec.images)):
+            self.global_ba(rec, fixed_ids=set(init_pair))
+            self.filter_points(
+                rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg
+            )
+            self._triangulate_pending(rec)
+            registered_any = False
+            for img_id in sorted(rec.images):
+                if rec.images[img_id].registered:
+                    continue
+                cnt = sum(
+                    1 for tid in self.kpt_track.get(img_id, {}).values()
+                    if self.track_pid[tid] >= 0
+                    and int(self.track_pid[tid]) in rec.points
+                )
+                if cnt < cfg.abs_pose_min_num_inliers:
+                    continue
+                if self._try_register(rec, img_id):
+                    registered_any = True
+                    if verbose:
+                        print(f"late-registered image {img_id} ({cnt} corrs)")
+                    self._triangulate_pending(rec)
+                    self._complete_image(rec, img_id)
+            if not registered_any:
+                break
         if len(rec.registered_images) < cfg.min_model_size:
             return None
         return rec
+
+    def _triangulate_pending(self, rec: Reconstruction):
+        """Triangulate every track without a 3D point that now has >= 2
+        registered observations."""
+        cfg = self.cfg
+        pending = sorted(
+            tid for tid in range(len(self.tracks))
+            if self.track_pid[tid] < 0
+        )
+        if not pending:
+            return
+        tri = self._triangulate_tracks(
+            rec, self.tracks, pending,
+            cfg.min_tri_angle_deg, cfg.filter_max_reproj_error,
+        )
+        for tid, (xyz, obs) in tri.items():
+            pid = rec.add_point(xyz, obs)
+            if pid >= 0:
+                self.track_pid[tid] = pid
 
     def _complete_image(self, rec: Reconstruction, img_id: int):
         """Add this image's observations to already-triangulated tracks when
