@@ -1,0 +1,52 @@
+"""Golden regression: the bundled demo scene reconstructs from cached
+real-image matches.
+
+tests/data/demo_cached/ holds the keypoint/match h5 artifacts produced by the
+homography-self-supervised matcher (3100 steps on the scene's own images,
+416px, bf16, TPU) on the reference's 8-image example scene. This pins the
+whole geometric stack — focal-search verification, track building,
+incremental mapping with retriangulation + registration fixpoint, Schur BA —
+against real (noisy, wide-baseline, unknown-intrinsics) data without needing
+a TPU or weights at test time.
+"""
+
+import os
+
+import numpy as np
+
+from detectorfreesfm_tpu.data.h5io import load_h5
+from detectorfreesfm_tpu.sfm.mapper import IncrementalMapper, MapperConfig
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "demo_cached")
+
+# Original (W, H) of the demo images (read once from the reference scene)
+DEMO_SIZES = {
+    "00318781_8039756060.jpg": (1057, 780),
+    "01606161_5223112207.jpg": (1019, 679),
+    "02786360_4030483701.jpg": (337, 447),
+    "02928139_3448003521.jpg": (780, 1063),
+    "03599123_13889501361.jpg": (773, 1038),
+    "04398000_3306414527.jpg": (888, 1081),
+    "04408102_2916920065.jpg": (773, 1039),
+    "04477856_4856961901.jpg": (687, 1039),
+}
+
+
+def test_demo_scene_reconstructs_from_cached_matches():
+    kps = load_h5(os.path.join(DATA, "keypoints.h5"))
+    raw = load_h5(os.path.join(DATA, "matches.h5"))
+    matches = {tuple(k.split("|")): v.astype(np.int32) for k, v in raw.items()}
+    sizes = {n: DEMO_SIZES[n] for n in kps}
+    f = max(1.0, float(np.mean([max(w, h) for w, h in sizes.values()])) / 416)
+    cfg = MapperConfig(
+        geometry_verify_thr=10 * f, init_max_error=10 * f,
+        abs_pose_max_error=12 * f, filter_max_reproj_error=10 * f,
+        abs_pose_min_num_inliers=8, refine_focal=True,
+        min_model_size=3, min_tri_angle_deg=1.0,
+    )
+    rec = IncrementalMapper(cfg).run(kps, matches, sizes, None)
+    assert rec is not None, "demo scene must reconstruct"
+    assert len(rec.registered_images) >= 4, rec.registered_images
+    assert len(rec.points) >= 200, len(rec.points)
+    errs = np.concatenate(list(rec.reprojection_errors().values()))
+    assert float(np.mean(errs)) < 8.0, float(np.mean(errs))
