@@ -118,10 +118,17 @@ def train_matcher_selfsup(
 
 def load_matcher_params(path: str, img_size: int = 416,
                         cfg: Optional[MatcherConfig] = None):
-    """Load params serialized by train_matcher_selfsup (or MatcherTrainer)."""
+    """Load params serialized by train_matcher_selfsup (or MatcherTrainer).
+
+    Checkpoints may be stored bf16 (the in-repo demo weights are, for size);
+    leaves are cast back to the template dtype.
+    """
     cfg = cfg or MatcherConfig()
     model = DetectorFreeMatcher(cfg)
     x0 = jnp.zeros((1, img_size, img_size, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), x0, x0)
     with open(path, "rb") as f:
-        return serialization.from_bytes({"params": template}, f.read())["params"]
+        loaded = serialization.from_bytes({"params": template}, f.read())
+    return jax.tree_util.tree_map(
+        lambda t, l: jnp.asarray(l, t.dtype), template, loaded["params"]
+    )
