@@ -312,6 +312,17 @@ def cmd_train_matcher_selfsup(args) -> int:
     return 0
 
 
+def cmd_train_refiner_selfsup(args) -> int:
+    from .train.refiner_selfsup import train_refiner_selfsup
+
+    train_refiner_selfsup(
+        args.images, args.output, steps=args.steps, img_size=args.img_resize,
+        n_views=args.n_views, n_tracks=args.n_tracks, lr=args.lr,
+        log_every=args.log_every,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="detectorfreesfm_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -399,6 +410,18 @@ def main(argv=None) -> int:
     ss.add_argument("--init-ckpt", default=None, dest="init_ckpt",
                     help="warm-start from a previous checkpoint")
     ss.set_defaults(fn=cmd_train_matcher_selfsup)
+
+    sf = sub.add_parser("train-refiner-selfsup",
+                        help="homography self-supervised refiner bootstrap")
+    sf.add_argument("--images", required=True)
+    sf.add_argument("--output", required=True)
+    sf.add_argument("--steps", type=int, default=1000)
+    sf.add_argument("--img-resize", type=int, default=256, dest="img_resize")
+    sf.add_argument("--n-views", type=int, default=4, dest="n_views")
+    sf.add_argument("--n-tracks", type=int, default=128, dest="n_tracks")
+    sf.add_argument("--lr", type=float, default=1e-3)
+    sf.add_argument("--log-every", type=int, default=50, dest="log_every")
+    sf.set_defaults(fn=cmd_train_refiner_selfsup)
 
     args = p.parse_args(argv)
     return args.fn(args)

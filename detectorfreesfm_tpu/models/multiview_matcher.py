@@ -125,16 +125,24 @@ class MultiviewRefiner(nn.Module):
         ref, qry = lt(ref, qry, ref_mask, qry_mask)
 
         # --- correlation + expectation ---------------------------------------
-        qry = qry.reshape(t, v - 1, w * w, c).astype(jnp.float32)
+        # L2-normalized correlation: bounded logits keep the softmax out of
+        # the uniform-collapse basin (unnormalized features can minimize the
+        # loss by shrinking toward a constant — observed as exact-zero
+        # gradients when training from scratch)
+        def l2n(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6
+            )
+
+        qry = l2n(qry.reshape(t, v - 1, w * w, c).astype(jnp.float32))
         half = (w - 1) / 2.0
-        inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
         r = cfg.ref_move_radius
         if r == 0:
-            center = ref[:, (w * w) // 2].astype(jnp.float32)  # (T, C)
+            center = l2n(ref[:, (w * w) // 2].astype(jnp.float32))  # (T, C)
             sim = jnp.einsum(
                 "tc,tqwc->tqw", center, qry,
                 preferred_element_type=jnp.float32,
-            ) * inv_sqrt_c
+            )
             heat = sim.reshape(t, v - 1, w, w) / cfg.softmax_temperature
             coords_n, std = soft_argmax_refine(heat, normalized=True)
             delta = coords_n * half * node_scale[:, 1:, None]
@@ -145,11 +153,11 @@ class MultiviewRefiner(nn.Module):
             oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
             mid = w // 2
             cand_lin = ((mid + oy) * w + (mid + ox)).reshape(-1)  # (L2,)
-            cand = ref[:, cand_lin].astype(jnp.float32)           # (T, L2, C)
+            cand = l2n(ref[:, cand_lin].astype(jnp.float32))      # (T, L2, C)
             sim = jnp.einsum(
                 "tlc,tqwc->tlqw", cand, qry,
                 preferred_element_type=jnp.float32,
-            ) * inv_sqrt_c
+            )
             heat = sim.reshape(t, -1, v - 1, w, w) / cfg.softmax_temperature
             coords_n, std_c = soft_argmax_refine(heat, normalized=True)
             # Best candidate = smallest mean std over valid query views

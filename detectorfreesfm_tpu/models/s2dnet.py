@@ -59,9 +59,11 @@ class S2DNet(nn.Module):
         y = nn.relu(conv(self.vgg_dims3[2], 3, "conv3_3")(y))
         hyper3 = y  # (N, ceil(P/4), ceil(P/4), 256)
 
-        # Adaptation: 1x1 -> relu -> 5x5 to out_dim (reference AdapLayers)
+        # Adaptation: 1x1 -> gelu -> 5x5 to out_dim (reference AdapLayers
+        # uses relu; gelu's non-dead negative branch helps from-scratch
+        # training escape feature collapse)
         def adapt(f, name):
-            f = nn.relu(conv(self.out_dim, 1, f"{name}_1x1")(f))
+            f = nn.gelu(conv(self.out_dim, 1, f"{name}_1x1")(f))
             return conv(self.out_dim, 5, f"{name}_5x5")(f)
 
         a1 = adapt(hyper1, "adap1")

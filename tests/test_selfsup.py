@@ -66,3 +66,41 @@ def test_selfsup_batch_and_short_training():
         losses.append(float(loss))
     # Overfitting one fixed batch must trend down (allow early oscillation)
     assert min(losses[8:]) < losses[0], losses
+
+
+def test_refiner_selfsup_training_reduces_loss(tmp_path):
+    """A short self-sup refiner run on one synthetic image must reduce loss
+    and produce a loadable checkpoint."""
+    from PIL import Image as PILImage
+
+    from detectorfreesfm_tpu.models.multiview_matcher import RefinerConfig
+    from detectorfreesfm_tpu.train.refiner_selfsup import (
+        load_refiner_params,
+        train_refiner_selfsup,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(2):
+        PILImage.fromarray(
+            rng.integers(0, 255, (96, 96), dtype=np.uint8), "L"
+        ).save(d / f"im{i}.png")
+    out = str(tmp_path / "refiner.msgpack")
+    cfg = RefinerConfig(crop_size=11, window=7)
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        params = train_refiner_selfsup(
+            str(d), out, steps=30, img_size=96, n_views=3, n_tracks=32,
+            lr=5e-4, log_every=5, refiner_cfg=cfg,
+        )
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("step")]
+    losses = [float(l.split("loss ")[1].split()[0]) for l in lines]
+    assert len(losses) >= 4
+    assert min(losses[2:]) < losses[0], losses
+    restored = load_refiner_params(out, cfg=cfg)
+    a = jax.tree_util.tree_leaves(restored)[0]
+    b = jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
