@@ -130,8 +130,11 @@ class MultiviewRefiner(nn.Module):
         # loss by shrinking toward a constant — observed as exact-zero
         # gradients when training from scratch)
         def l2n(x):
-            return x / jnp.maximum(
-                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6
+            # rsqrt(sum + eps): finite gradient at exactly-zero vectors
+            # (linalg.norm's backward NaNs there, and the TPU's bf16 matmul
+            # pass rounds small feature vectors to exact zero)
+            return x * jax.lax.rsqrt(
+                jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12
             )
 
         qry = l2n(qry.reshape(t, v - 1, w * w, c).astype(jnp.float32))

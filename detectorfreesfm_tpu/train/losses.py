@@ -75,5 +75,13 @@ def fine_l2_std_loss(
     denom = jnp.maximum(jnp.sum(mask_f), 1.0)
     weight = inv_std / (jnp.sum(inv_std * mask_f) / denom + eps)
     weight = jax.lax.stop_gradient(weight)
-    err2 = jnp.sum((pred.astype(jnp.float32) - gt.astype(jnp.float32)) ** 2, -1)
+    # Mask BEFORE squaring: out-of-frame targets can be inf (division by a
+    # near-zero warp depth) and inf * 0 poisons the sum with NaN — and a
+    # single jnp.where after the square still NaNs the gradient
+    diff = jnp.where(
+        mask[..., None],
+        pred.astype(jnp.float32) - gt.astype(jnp.float32),
+        0.0,
+    )
+    err2 = jnp.sum(diff * diff, -1)
     return jnp.sum(weight * err2 * mask_f) / denom

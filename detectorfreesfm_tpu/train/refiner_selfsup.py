@@ -93,8 +93,8 @@ def train_refiner_selfsup(
         ones = jnp.ones((t, 1), jnp.float32)
         ph = jnp.concatenate([pts, ones], -1)               # (T, 3)
         dst = jnp.einsum("vij,tj->vti", Hs, ph)             # (V-1, T, 3)
-        z = jnp.where(jnp.abs(dst[..., 2:]) < 1e-9, 1e-9, dst[..., 2:])
-        q_gt = dst[..., :2] / z                             # (V-1, T, 2)
+        z = jnp.where(jnp.abs(dst[..., 2:]) < 1e-6, 1e-6, dst[..., 2:])
+        q_gt = jnp.clip(dst[..., :2] / z, -4.0 * img_size, 4.0 * img_size)
         gt = jnp.concatenate([pts[None], q_gt]).transpose(1, 0, 2)  # (T, V, 2)
         in_frame = (
             (gt[..., 0] >= margin) & (gt[..., 0] < img_size - margin)
