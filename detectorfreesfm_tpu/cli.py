@@ -99,11 +99,17 @@ def _run_scene(args) -> dict:
             args.matcher_ckpt,
             cfg=MatcherConfig(compute_dtype=args.dtype),
         )
+    refiner_params = None
+    if getattr(args, "refiner_ckpt", None):
+        from .train.refiner_selfsup import load_refiner_params
+
+        refiner_params = load_refiner_params(args.refiner_ckpt)
     rec = reconstruct_scene(
         image_dir, args.output, cfg,
         intrinsics=intrins,
         poses=poses if args.triangulation else None,
         matcher_params=matcher_params,
+        refiner_params=refiner_params,
         verbose=args.verbose,
     )
     if rec is None:
@@ -347,6 +353,8 @@ def main(argv=None) -> int:
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--matcher-ckpt", default=None, dest="matcher_ckpt",
                         help="trained matcher checkpoint (.msgpack)")
+        sp.add_argument("--refiner-ckpt", default=None, dest="refiner_ckpt",
+                        help="trained refiner checkpoint (.msgpack)")
         sp.add_argument("--min-inliers", type=int, default=30,
                         dest="min_inliers",
                         help="PnP registration inlier floor (reference"

@@ -212,15 +212,26 @@ def reconstruct_scene(
     # Refinement
     refined_dir = os.path.join(output_dir, "colmap_refined")
     if cfg.n_refine_iters > 0:
+        # Refinement runs at network resolution: keypoints AND intrinsics
+        # move into network pixel units together (mixing original-res K with
+        # network-res xys silently destroys the geometry in BA), then both
+        # scale back afterwards.
         images_by_id = {}
+        scales = {}
         for img_id, im in rec.images.items():
             li = load_gray(
                 os.path.join(image_dir, im.name),
                 long_side=cfg.img_resize, pad_to=cfg.img_resize,
             )
-            # refinement runs at network resolution; rescale kpts to it
             images_by_id[img_id] = li.data
+            scales[img_id] = li.scale
             im.xys = im.xys / li.scale[None, :]
+            cam = rec.cameras[im.camera_id]
+            cam.params = cam.params.copy()
+            cam.params[0] /= li.scale[0]   # fx
+            cam.params[1] /= li.scale[1]   # fy
+            cam.params[2] /= li.scale[0]   # cx
+            cam.params[3] /= li.scale[1]   # cy
         rcfg = dataclasses.replace(
             cfg.refine, n_iters=cfg.n_refine_iters, save_iters_to=output_dir
         )
@@ -230,11 +241,14 @@ def reconstruct_scene(
         )
         # back to original pixels
         for img_id, im in rec.images.items():
-            li_scale = load_gray(
-                os.path.join(image_dir, im.name),
-                long_side=cfg.img_resize, pad_to=cfg.img_resize,
-            ).scale
-            im.xys = im.xys * li_scale[None, :]
+            sc = scales[img_id]
+            im.xys = im.xys * sc[None, :]
+            cam = rec.cameras[im.camera_id]
+            cam.params = cam.params.copy()
+            cam.params[0] *= sc[0]
+            cam.params[1] *= sc[1]
+            cam.params[2] *= sc[0]
+            cam.params[3] *= sc[1]
     os.makedirs(refined_dir, exist_ok=True)
     rec.write(refined_dir)
     # Viewer-friendly dumps (reference vis3d exports, SURVEY.md §5)
