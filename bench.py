@@ -40,17 +40,21 @@ def main():
 
     fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
 
-    def run_sync():
-        out = fwd(params, img0, img1)
+    def sync(out):
         # device_get of a dependent scalar forces completion even on async
         # tunnel transports where block_until_ready returns early
         return float(jax.device_get(out.conf.sum()))
 
-    run_sync()  # compile + warm
-    run_sync()
+    sync(fwd(params, img0, img1))  # compile + warm
+    sync(fwd(params, img0, img1))
+    # Throughput protocol: launch all iterations, sync once. Per-iteration
+    # syncing would charge the transport round-trip (~30 ms on the dev
+    # tunnel) to every batch; the production engine pipelines dispatches
+    # (match/engine.py), so throughput is the faithful metric.
     t0 = time.perf_counter()
-    for _ in range(iters):
-        run_sync()
+    outs = [fwd(params, img0, img1) for _ in range(iters)]
+    for o in outs:
+        sync(o)
     dt = time.perf_counter() - t0
     pairs_per_s = batch * iters / dt
 
