@@ -47,6 +47,7 @@ def train_matcher_selfsup(
     compute_dtype: str = "float32",
     init_params=None,
     matcher_cfg: Optional[MatcherConfig] = None,
+    aug_strength: float = 1.0,  # scales homography rotation/scale/persp jitter
 ):
     """Returns trained params (also serialized to out_path)."""
     names = sorted(
@@ -82,9 +83,13 @@ def train_matcher_selfsup(
         idx = jax.random.randint(kb, (batch,), 0, imgs_dev.shape[0])
         src = jnp.take(imgs_dev, idx, axis=0)                  # (B, S, S)
         h = w = img_size
-        Hs = jax.vmap(lambda k: random_homography(k, h, w))(
-            jax.random.split(kh, batch)
-        )
+        Hs = jax.vmap(lambda k: random_homography(
+            k, h, w,
+            max_rotation=0.35 * aug_strength,
+            max_scale=0.25 * aug_strength,
+            max_translation=0.15,
+            max_perspective=3e-4 * aug_strength,
+        ))(jax.random.split(kh, batch))
         warped = jax.vmap(warp_image)(src, Hs)
         gt = jax.vmap(lambda Hm: homography_cell_assignment(Hm, h, w))(Hs)
 
