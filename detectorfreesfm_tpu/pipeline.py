@@ -174,6 +174,18 @@ def reconstruct_scene(
     keypoints, match_indices = _match_stage(
         cfg, image_dir, names, output_dir, engine
     )
+    # COLMAP SQLite artifact for external tooling (reference writes
+    # database.db via hloc; ours is a direct export of the same content)
+    db_path = os.path.join(output_dir, "database.db")
+    if not os.path.exists(db_path):
+        from .data.database import export_scene_to_database
+
+        try:
+            export_scene_to_database(
+                db_path, keypoints, match_indices, sizes, intrinsics
+            )
+        except Exception:
+            pass  # interop artifact only; never block reconstruction
 
     coarse_dir = os.path.join(output_dir, "colmap_coarse")
     mapper_cfg = cfg.mapper
