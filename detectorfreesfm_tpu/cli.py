@@ -66,6 +66,13 @@ def _run_scene(args) -> dict:
     )
     from .sfm.mapper import MapperConfig
 
+    scene = args.scene or args.images
+    image_dir = args.images or os.path.join(scene, "images")
+    names = list_scene_images(image_dir, args.n_images)
+    poses, intrins = _load_scene_gt(scene) if args.scene else (None, None)
+    poses = _match_gt_names(poses, names)
+    intrins = _match_gt_names(intrins, names)
+
     cfg = PipelineConfig(
         img_resize=args.img_resize,
         match_threshold=args.match_threshold,
@@ -78,17 +85,14 @@ def _run_scene(args) -> dict:
         redo_refine=args.redo,
         compute_dtype=args.dtype,
         mapper=MapperConfig(
-            refine_focal=not args.known_intrinsics,
+            # Known GT intrinsics stay fixed in BA (the reference fixes
+            # provided intrinsics); focal refinement only makes sense when
+            # focals were guessed. --known-intrinsics forces fixed.
+            refine_focal=(intrins is None) and not args.known_intrinsics,
             min_model_size=args.min_model_size,
             abs_pose_min_num_inliers=args.min_inliers,
         ),
     )
-    scene = args.scene or args.images
-    image_dir = args.images or os.path.join(scene, "images")
-    names = list_scene_images(image_dir, cfg.n_images)
-    poses, intrins = _load_scene_gt(scene) if args.scene else (None, None)
-    poses = _match_gt_names(poses, names)
-    intrins = _match_gt_names(intrins, names)
 
     matcher_params = None
     if getattr(args, "matcher_ckpt", None):
@@ -283,19 +287,32 @@ def cmd_train_matcher(args) -> int:
     trainer = MatcherTrainer(cfg)
     state = None
     step = 0
+    max_steps = getattr(args, "max_steps", None)
     for epoch in range(args.epochs):
-        for s, t in sampler.epoch(epoch).tolist():
-            batch = tuple_to_pair_batch([datasets[s][t]])
+        ids = sampler.epoch(epoch).tolist()
+        bs = max(1, args.batch_size)
+        for start in range(0, len(ids) - bs + 1, bs):
+            chunk = ids[start : start + bs]
+            batch = tuple_to_pair_batch([datasets[s][t] for s, t in chunk])
             if state is None:
                 state = trainer.init_state(batch)
+                if getattr(args, "init_ckpt", None):
+                    state = state._replace(params=trainer.load_params(
+                        args.init_ckpt, state.params
+                    ))
             state, loss = trainer.train_step(state, batch)
             step += 1
             if step % args.log_every == 0:
-                print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+                print(f"epoch {epoch} step {step} loss {float(loss):.5f}",
+                      flush=True)
+            if max_steps and step >= max_steps:
+                break
         if state is not None:
             trainer.save_checkpoint(
                 state, os.path.join(args.output, f"matcher_ep{epoch}.msgpack")
             )
+        if max_steps and step >= max_steps:
+            break
     return 0
 
 
@@ -402,6 +419,9 @@ def main(argv=None) -> int:
     sm.add_argument("--log-every", type=int, default=50, dest="log_every")
     sm.add_argument("--dtype-train", default="float32", dest="dtype_train",
                     choices=["float32", "bfloat16"])
+    sm.add_argument("--init-ckpt", default=None, dest="init_ckpt",
+                    help="warm-start from a previous checkpoint")
+    sm.add_argument("--max-steps", type=int, default=None, dest="max_steps")
     sm.set_defaults(fn=cmd_train_matcher)
 
     ss = sub.add_parser("train-matcher-selfsup",

@@ -71,7 +71,6 @@ def extract_topk_matches(
     conf: jax.Array,
     threshold: float,
     k: int,
-    mutual: bool = True,
 ) -> CoarseMatches:
     """Dense conf matrix -> fixed-capacity top-K match list.
 
@@ -79,7 +78,8 @@ def extract_topk_matches(
     the K highest-confidence mutual-NN cells (K = static capacity) and mark
     sub-threshold slots invalid, keeping shapes static across the batch.
 
-    A mutual-NN cell is by definition its row's argmax, so at most one match
+    Matches are always mutual nearest neighbors (the reference contract). A
+    mutual-NN cell is by definition its row's argmax, so at most one match
     exists per row: the selection runs as row-argmax + mutual check + top-K
     over the L rows — O(L·S) reductions and an O(L) sort instead of a top-K
     over all L·S cells (which dominated the whole matcher forward, ~1.4 s of
@@ -89,11 +89,10 @@ def extract_topk_matches(
     row_max = jnp.max(conf, axis=2)                       # (B, L)
     row_arg = jnp.argmax(conf, axis=2).astype(jnp.int32)  # (B, L)
     keep = row_max > threshold
-    if mutual:
-        col_arg = jnp.argmax(conf, axis=1).astype(jnp.int32)  # (B, S)
-        back = jnp.take_along_axis(col_arg, row_arg, axis=1)  # (B, L)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
-        keep = keep & (back == rows)
+    col_arg = jnp.argmax(conf, axis=1).astype(jnp.int32)  # (B, S)
+    back = jnp.take_along_axis(col_arg, row_arg, axis=1)  # (B, L)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    keep = keep & (back == rows)
     scores = jnp.where(keep, row_max, 0.0)
     kk = min(k, l)  # tiny grids can hold fewer rows than the K capacity
     top_conf, idx0 = jax.lax.top_k(scores, kk)            # over L rows

@@ -184,8 +184,9 @@ def reconstruct_scene(
             export_scene_to_database(
                 db_path, keypoints, match_indices, sizes, intrinsics
             )
-        except Exception:
-            pass  # interop artifact only; never block reconstruction
+        except Exception as e:  # noqa: BLE001
+            # Interop artifact only; never block reconstruction — but say so.
+            print(f"warning: database.db export failed: {e!r}")
 
     coarse_dir = os.path.join(output_dir, "colmap_coarse")
     mapper_cfg = cfg.mapper
@@ -198,9 +199,13 @@ def reconstruct_scene(
             init_max_error=cfg.mapper.init_max_error * f,
             abs_pose_max_error=cfg.mapper.abs_pose_max_error * f,
             filter_max_reproj_error=cfg.mapper.filter_max_reproj_error * f,
+            tri_merge_max_reproj_error=cfg.mapper.tri_merge_max_reproj_error * f,
+            tri_complete_max_reproj_error=cfg.mapper.tri_complete_max_reproj_error * f,
         )
     mapper = IncrementalMapper(mapper_cfg)
+    coarse_resumed = False
     if not cfg.redo_sfm and os.path.isdir(coarse_dir) and os.listdir(coarse_dir):
+        coarse_resumed = True
         cams, imgs, pts = colmap_io.read_model(coarse_dir)
         rec = Reconstruction.from_colmap(cams, imgs, pts)
         mapper.names = sorted(keypoints)
@@ -221,8 +226,14 @@ def reconstruct_scene(
     os.makedirs(coarse_dir, exist_ok=True)
     rec.write(coarse_dir)
 
-    # Refinement
+    # Refinement (resumable: a completed colmap_refined/ is reused unless the
+    # SfM stage was re-run above or redo_refine forces it)
     refined_dir = os.path.join(output_dir, "colmap_refined")
+    if (not cfg.redo_refine and coarse_resumed
+            and os.path.isdir(refined_dir)
+            and os.path.exists(os.path.join(refined_dir, "images.bin"))):
+        cams, imgs, pts = colmap_io.read_model(refined_dir)
+        return Reconstruction.from_colmap(cams, imgs, pts)
     if cfg.n_refine_iters > 0:
         # Refinement runs at network resolution: keypoints AND intrinsics
         # move into network pixel units together (mixing original-res K with

@@ -54,15 +54,10 @@ def _point_view_scales(rec: Reconstruction, pid: int) -> List[Tuple[int, int, fl
     return out
 
 
-def pack_track_bags(
-    rec: Reconstruction,
-    max_track_length: int = 16,
-    max_imgs_per_bag: int = 16,
-    chunk_tracks: int = 2000,
-    min_track_length: int = 2,
-) -> List[TrackBag]:
-    cfg_V = max_track_length
-    # Build per-point node lists with reference-first ordering
+def _build_entries(rec: Reconstruction, max_track_length: int,
+                   min_track_length: int):
+    """Per-point node lists with reference-first ordering (median-scale
+    reference view, reference coarse_sfm_refinement_dataset.py:236-301)."""
     entries = []  # (pid, [(img, kpt, rel_scale)] ref first)
     for pid in sorted(rec.points):
         obs = _point_view_scales(rec, pid)
@@ -78,8 +73,72 @@ def pack_track_bags(
             (i, k, s / ref[2]) for (i, k, s) in rest
         ]
         entries.append((pid, nodes))
+    return entries
 
-    # Greedy bag assignment: longest track first
+
+@dataclasses.dataclass
+class TrackTable:
+    """Flat scene-wide track tensor: every track row is independent in the
+    refiner forward, so no bag structure is needed on TPU — the whole image
+    set sits in HBM and rows chunk/shard over the mesh. (The reference's
+    image bags exist to bound per-GPU image loads —
+    construct_matching_data.py:226-283; here they would only fragment the
+    batch.)"""
+
+    image_ids: List[int]              # global image list (index target)
+    point_ids: List[int]
+    node_img: np.ndarray              # (T, V) int32 index into image_ids
+    node_xy: np.ndarray               # (T, V, 2) float32
+    node_scale: np.ndarray            # (T, V) float32
+    node_mask: np.ndarray             # (T, V) bool
+    node_kpt: np.ndarray              # (T, V) int32
+
+
+def pack_track_table(
+    rec: Reconstruction,
+    max_track_length: int = 16,
+    min_track_length: int = 2,
+) -> TrackTable:
+    cfg_V = max_track_length
+    entries = _build_entries(rec, max_track_length, min_track_length)
+    image_ids = sorted(rec.images)
+    img_index = {im: i for i, im in enumerate(image_ids)}
+    T = len(entries)
+    node_img = np.zeros((T, cfg_V), np.int32)
+    node_xy = np.zeros((T, cfg_V, 2), np.float32)
+    node_scale = np.ones((T, cfg_V), np.float32)
+    node_mask = np.zeros((T, cfg_V), bool)
+    node_kpt = np.full((T, cfg_V), -1, np.int32)
+    pids = []
+    for r, (pid, nodes) in enumerate(entries):
+        pids.append(pid)
+        for vpos, (img_id, kpt, rel) in enumerate(nodes[:cfg_V]):
+            node_img[r, vpos] = img_index[img_id]
+            node_xy[r, vpos] = rec.images[img_id].xys[kpt]
+            node_scale[r, vpos] = rel
+            node_mask[r, vpos] = True
+            node_kpt[r, vpos] = kpt
+    return TrackTable(
+        image_ids=image_ids, point_ids=pids, node_img=node_img,
+        node_xy=node_xy, node_scale=node_scale, node_mask=node_mask,
+        node_kpt=node_kpt,
+    )
+
+
+def pack_track_bags(
+    rec: Reconstruction,
+    max_track_length: int = 16,
+    max_imgs_per_bag: int = 16,
+    chunk_tracks: int = 2000,
+    min_track_length: int = 2,
+) -> List[TrackBag]:
+    cfg_V = max_track_length
+    entries = _build_entries(rec, max_track_length, min_track_length)
+
+    # Greedy bag assignment: longest track first. The seed's bag images are
+    # taken in node order (reference view first), so when a long track's view
+    # set exceeds max_imgs_per_bag the reference view always stays in the bag
+    # and only trailing query views are dropped.
     order = sorted(range(len(entries)), key=lambda i: -len(entries[i][1]))
     consumed = np.zeros(len(entries), bool)
     bags_raw: List[Tuple[List[int], List[int]]] = []  # (img_ids, entry_idxs)
@@ -87,7 +146,11 @@ def pack_track_bags(
     for seed in order:
         if consumed[seed]:
             continue
-        bag_imgs = list(track_imgs[seed][:max_imgs_per_bag])
+        seed_imgs_ordered = []
+        for i, _, _ in entries[seed][1]:
+            if i not in seed_imgs_ordered:
+                seed_imgs_ordered.append(i)
+        bag_imgs = seed_imgs_ordered[:max_imgs_per_bag]
         bag_set = set(bag_imgs)
         members = [seed]
         consumed[seed] = True
@@ -115,6 +178,8 @@ def pack_track_bags(
             for r, ei in enumerate(chunk):
                 pid, nodes = entries[ei]
                 pids.append(pid)
+                # Seed tracks longer than the bag keep only in-bag views
+                nodes = [nd for nd in nodes if nd[0] in img_index]
                 for vpos, (img_id, kpt, rel) in enumerate(nodes[:cfg_V]):
                     node_img[r, vpos] = img_index[img_id]
                     node_xy[r, vpos] = rec.images[img_id].xys[kpt]

@@ -29,9 +29,10 @@ import numpy as np
 
 from ..core.geometry import camera_center
 from ..models.multiview_matcher import MultiviewRefiner, RefinerConfig
+from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_leading_axis
 from ..sfm.mapper import IncrementalMapper, MapperConfig
 from ..sfm.reconstruction import Reconstruction
-from .bags import pack_track_bags
+from .bags import pack_track_table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,11 +40,21 @@ class RefineConfig:
     n_iters: int = 2
     windows: tuple = (15, 11, 7)       # per-iteration attention window
     crop_extra: int = 4                # backbone context beyond the window
-    filter_thresholds: tuple = (3.0, 2.0, 1.5)  # px, per iteration
+    filter_thresholds: tuple = (3.0, 2.0, 1.5)  # px, per iteration; also the
+                                       # tri-merge / tri-complete thresholds
+                                       # (reference geometry refiner sets all
+                                       # three to the same value per iter)
     min_tri_angle_deg: float = 1.5
     max_track_length: int = 16
+    max_imgs_per_bag: int = 16
     chunk_tracks: int = 512
     reregister_every: int = 2
+    # Relaxed re-registration thresholds (reference reregistration.py:35-46 +
+    # hydra_configs/*/dfsfm.yaml `reregistration:`— a separate, looser config
+    # than the mapper's so refinement-dropped images can come back)
+    rereg_abs_pose_max_error: float = 12.0
+    rereg_min_num_inliers: int = 15
+    rereg_min_inlier_ratio: float = 0.1
     compute_dtype: str = "float32"
     save_iters_to: str | None = None  # write model_refined_{i}/ per iteration
                                       # (reference post_optimization artifact)
@@ -95,6 +106,17 @@ def refine_reconstruction(
     Hmax = max(im.shape[0] for im in images_by_id.values())
     Wmax = max(im.shape[1] for im in images_by_id.values())
 
+    # Stage the whole scene's images to device ONCE (replicated over the
+    # mesh): track rows then index into this global stack, so refinement has
+    # no per-bag image shuffling and no image-count-dependent recompiles.
+    mesh = get_mesh()
+    image_order = sorted(images_by_id)
+    img_stack = np.zeros((len(image_order), Hmax, Wmax, 1), np.float32)
+    for gi, img_id in enumerate(image_order):
+        a = images_by_id[img_id]
+        img_stack[gi, : a.shape[0], : a.shape[1], 0] = a
+    images_dev = replicate(jnp.asarray(img_stack), mesh)
+
     for it in range(cfg.n_iters):
         # Failure isolation (reference post_optimization.py:195-197: a failed
         # geometry-refinement iteration falls back to the unrefined model)
@@ -108,8 +130,8 @@ def refine_reconstruction(
         ))
         try:
             _refine_iteration(
-                rec, images_by_id, params, cfg, mapper, rng, verbose,
-                it, Hmax, Wmax, profiler,
+                rec, images_dev, image_order, params, cfg, mapper, rng,
+                verbose, it, mesh, profiler,
             )
             if cfg.save_iters_to:
                 import os
@@ -136,8 +158,8 @@ def refine_reconstruction(
 
 
 def _refine_iteration(
-    rec, images_by_id, params, cfg, mapper, rng, verbose, it, Hmax, Wmax,
-    profiler,
+    rec, images_dev, image_order, params, cfg, mapper, rng, verbose, it,
+    mesh, profiler,
 ):
     window = cfg.windows[min(it, len(cfg.windows) - 1)]
     rcfg = RefinerConfig(
@@ -146,52 +168,77 @@ def _refine_iteration(
     )
     model = MultiviewRefiner(rcfg)
     model_params = params
+    if model_params is None:
+        model_params = model.init(
+            rng, jnp.zeros((1, 32, 32, 1), jnp.float32),
+            jnp.zeros((1, cfg.max_track_length), jnp.int32),
+            jnp.full((1, cfg.max_track_length, 2), 16.0, jnp.float32),
+            jnp.ones((1, cfg.max_track_length), jnp.float32),
+            jnp.zeros((1, cfg.max_track_length), bool),
+        )
+    params_dev = replicate(model_params, mesh)
     apply = jax.jit(model.apply)
 
-    with profiler.record_function("refine/pack_bags"):
-        bags = pack_track_bags(
-            rec, max_track_length=cfg.max_track_length,
-            chunk_tracks=cfg.chunk_tracks,
-        )
+    with profiler.record_function("refine/pack_tracks"):
+        table = pack_track_table(rec, max_track_length=cfg.max_track_length)
+    # Reconcile table image indices with the staged global stack
+    img_pos = {img_id: gi for gi, img_id in enumerate(image_order)}
+    # Images never referenced by a node (e.g. unregistered) may be absent
+    # from the staged stack; map them to 0 — their mask is always False.
+    remap = np.asarray(
+        [img_pos.get(i, 0) for i in table.image_ids], np.int32
+    )
+    node_img_g = remap[table.node_img]
+    T_total = len(table.point_ids)
+    n_dev = mesh.devices.size
+    chunk = pad_to_multiple(max(cfg.chunk_tracks, n_dev), n_dev)
     if verbose:
-        print(f"refine iter {it}: {len(bags)} bags, window {window}")
-    with profiler.record_function("refine/multiview_match"):
-        for bag in bags:
-            T = len(bag.point_ids)
-            t_pad = cfg.chunk_tracks
-            imgs = np.zeros((len(bag.image_ids), Hmax, Wmax, 1), np.float32)
-            for bi, img_id in enumerate(bag.image_ids):
-                a = images_by_id[img_id]
-                imgs[bi, : a.shape[0], : a.shape[1], 0] = a
-            if model_params is None:
-                model_params = model.init(
-                    rng, jnp.asarray(imgs[:1]),
-                    jnp.zeros((1, cfg.max_track_length), jnp.int32),
-                    jnp.zeros((1, cfg.max_track_length, 2), jnp.float32),
-                    jnp.ones((1, cfg.max_track_length), jnp.float32),
-                    jnp.zeros((1, cfg.max_track_length), bool),
-                )
-            out = apply(
-                model_params,
-                jnp.asarray(imgs),
-                jnp.asarray(_pad_tracks(bag.node_img, t_pad)),
-                jnp.asarray(_pad_tracks(bag.node_xy, t_pad)),
-                jnp.asarray(_pad_tracks(bag.node_scale, t_pad, 1.0)),
-                jnp.asarray(_pad_tracks(bag.node_mask, t_pad)),
-            )
-            coords = np.asarray(out.coords)[:T]
-            # Write refined query observations back into image keypoints
-            for r, pid in enumerate(bag.point_ids):
-                if pid not in rec.points:
-                    continue
-                for vpos in range(1, coords.shape[1]):
-                    if not bag.node_mask[r, vpos]:
-                        continue
-                    img_id = bag.image_ids[bag.node_img[r, vpos]]
-                    kpt = int(bag.node_kpt[r, vpos])
-                    rec.images[img_id].xys[kpt] = coords[r, vpos]
+        print(f"refine iter {it}: {T_total} tracks, window {window}, "
+              f"chunks of {chunk} over {n_dev} devices")
 
-    # Geometry refinement: BA (farthest-pair gauge) + filter
+    def dispatch(start):
+        """Stage + launch one sharded track chunk (async)."""
+        end = min(start + chunk, T_total)
+        n = end - start
+        ni = _pad_tracks(node_img_g[start:end], chunk)
+        xy = _pad_tracks(table.node_xy[start:end], chunk)
+        sc = _pad_tracks(table.node_scale[start:end], chunk, 1.0)
+        mk = _pad_tracks(table.node_mask[start:end], chunk)
+        batch = shard_leading_axis(
+            (jnp.asarray(ni), jnp.asarray(xy), jnp.asarray(sc),
+             jnp.asarray(mk)), mesh,
+        )
+        return start, n, apply(params_dev, images_dev, *batch)
+
+    def collect(start, n, out):
+        coords = np.asarray(out.coords)[:n]
+        # Write refined query observations back into image keypoints
+        for r in range(n):
+            pid = table.point_ids[start + r]
+            if pid not in rec.points:
+                continue
+            for vpos in range(1, coords.shape[1]):
+                if not table.node_mask[start + r, vpos]:
+                    continue
+                img_id = table.image_ids[table.node_img[start + r, vpos]]
+                kpt = int(table.node_kpt[start + r, vpos])
+                rec.images[img_id].xys[kpt] = coords[r, vpos]
+
+    # 1-deep software pipeline: host write-back of chunk i overlaps device
+    # compute of chunk i+1 (same pattern as match/engine.py).
+    with profiler.record_function("refine/multiview_match"):
+        pending = None
+        for start in range(0, T_total, chunk):
+            nxt = dispatch(start)
+            if pending is not None:
+                collect(*pending)
+            pending = nxt
+        if pending is not None:
+            collect(*pending)
+
+    # Geometry refinement (the reference's custom COLMAP verb
+    # incremental_model_refiner: retriangulate + merge + complete + BA +
+    # filter, all at this iteration's threshold)
     m = mapper or IncrementalMapper(MapperConfig())
     if not hasattr(m, "names"):
         # allow running on a standalone reconstruction
@@ -200,15 +247,26 @@ def _refine_iteration(
     thr = cfg.filter_thresholds[min(it, len(cfg.filter_thresholds) - 1)]
     with profiler.record_function("refine/geometry_refinement"):
         m.retriangulate(rec)  # structure follows the refined 2D points
+        n_merged = m.merge_tracks(rec, thr)
+        n_completed = (
+            m.complete_tracks(rec, thr) if hasattr(m, "kpt_track") else 0
+        )
         m.global_ba(rec, fixed_ids=_farthest_pair(rec))
         n_rm = m.filter_points(rec, thr, cfg.min_tri_angle_deg)
     if verbose:
-        print(f"  BA done, filtered {n_rm} at {thr}px")
+        print(f"  BA done at {thr}px: merged {n_merged}, "
+              f"completed {n_completed}, filtered {n_rm}")
 
-    # Re-registration of dropped images (even iterations)
+    # Re-registration of dropped images (even iterations), relaxed thresholds
     if (it % cfg.reregister_every) == 0 and mapper is not None:
         for img_id in list(rec.images):
             if not rec.images[img_id].registered:
-                if mapper._try_register(rec, img_id) and verbose:
+                ok = mapper._try_register(
+                    rec, img_id,
+                    abs_pose_max_error=cfg.rereg_abs_pose_max_error,
+                    min_num_inliers=cfg.rereg_min_num_inliers,
+                    min_inlier_ratio=cfg.rereg_min_inlier_ratio,
+                )
+                if ok and verbose:
                     print(f"  re-registered image {img_id}")
     return rec

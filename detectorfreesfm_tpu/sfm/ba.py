@@ -286,17 +286,19 @@ def bundle_adjust(
     R_all = np.asarray(quat_to_rotmat(jnp.asarray(qvec)), np.float64)
     t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
 
-    # Build per-point padded track->obs table
+    # Build per-point padded track->obs table (vectorized: rank of each
+    # observation within its point's sorted group)
     order = np.argsort(obs_pt, kind="stable")
     counts = np.bincount(obs_pt, minlength=P)
     T = int(max_track or max(int(counts.max()), 2))
     track_obs = np.full((P, T), O, np.int32)
     track_mask = np.zeros((P, T), bool)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    for p in range(P):
-        c = min(counts[p], T)
-        track_obs[p, :c] = order[starts[p] : starts[p] + c]
-        track_mask[p, :c] = True
+    pt_sorted = obs_pt[order]
+    rank = np.arange(O) - starts[pt_sorted]
+    keep = rank < T
+    track_obs[pt_sorted[keep], rank[keep]] = order[keep].astype(np.int32)
+    track_mask[pt_sorted[keep], rank[keep]] = True
 
     # Pad obs arrays by one dummy slot (index O used by padded track entries),
     # then (sharded path) up to a device multiple so leading axes split evenly

@@ -37,11 +37,20 @@ class MapperConfig:
     abs_pose_min_num_inliers: int = 30
     abs_pose_min_inlier_ratio: float = 0.25
     filter_max_reproj_error: float = 10.0
+    tri_merge_max_reproj_error: float = 10.0
+    tri_complete_max_reproj_error: float = 10.0
     min_tri_angle_deg: float = 1.5
     init_min_tri_angle_deg: float = 4.0
     min_model_size: int = 3
     tri_ignore_two_view_tracks: bool = False
     default_focal_factor: float = 1.2  # COLMAP prior when intrinsics unknown
+    # Two-view degeneracy handling (COLMAP TwoViewGeometry model selection):
+    # score every verified pair's homography support; pairs with
+    # h_inliers/e_inliers above planar_h_ratio are planar/near-pure-rotation,
+    # where the 8-point essential solution is unreliable — their seed pose
+    # comes from homography decomposition instead.
+    compute_homography: bool = True
+    planar_h_ratio: float = 0.8
     refine_focal: bool = False         # refine focal in BA (unknown-intrinsics mode)
     # Unknown-intrinsics focal search: re-run two-view RANSAC at several
     # focal factors and vote a per-image focal from the winning factors
@@ -101,6 +110,7 @@ class IncrementalMapper:
         rec = Reconstruction()
         self.names = sorted(keypoints)
         self.name_to_id = {n: i + 1 for i, n in enumerate(self.names)}
+        self.unknown_K: set = set()   # image ids whose focal is a guess
         for n in self.names:
             i = self.name_to_id[n]
             w, h = image_sizes[n]
@@ -112,6 +122,7 @@ class IncrementalMapper:
                 f = self.cfg.default_focal_factor * max(w, h)
                 params = np.array([f, f, w / 2.0, h / 2.0])
                 model = "PINHOLE"
+                self.unknown_K.add(i)
             rec.add_camera(colmap_io.Camera(i, model, w, h, params))
             rec.add_image(
                 RImage(id=i, name=n, camera_id=i,
@@ -135,11 +146,20 @@ class IncrementalMapper:
         the best factor's result is kept; afterwards every camera's focal is
         rescaled to the median winning factor of its pairs (then refined
         further by BA when cfg.refine_focal).
+
+        All (pair x focal-factor) verifications of a size bucket run as ONE
+        vmapped RANSAC program sharded over pairs — not the reference's
+        per-pair Ray tasks (coarse_match.py:104-160) nor a host loop of jit
+        calls; at IMC scale (10k+ pairs) the host loop was the bottleneck.
         """
+        from .twoview import estimate_relative_pose_batch
+
         cfg = self.cfg
         factors = cfg.focal_search_factors if focal_search else (1.0,)
-        out: Dict[Tuple[int, int], dict] = {}
-        votes: Dict[int, list] = {}
+        nf = len(factors)
+
+        # Build jobs: coords normalized once (factor f scales as x / f)
+        jobs = []  # (na, nb, ia, ib, m, x0, x1, f_mean)
         for (na, nb) in sorted(match_indices):
             m = np.asarray(match_indices[(na, nb)])
             if len(m) < 8:
@@ -148,42 +168,73 @@ class IncrementalMapper:
             Ka, Kb = rec.K_of_image(ia), rec.K_of_image(ib)
             uv0 = rec.images[ia].xys[m[:, 0]]
             uv1 = rec.images[ib].xys[m[:, 1]]
-            n_pad = _pad_pow2(len(m))
-            best = None
-            for fac in factors:
-                Kaf = Ka.copy(); Kaf[0, 0] *= fac; Kaf[1, 1] *= fac
-                Kbf = Kb.copy(); Kbf[0, 0] *= fac; Kbf[1, 1] *= fac
-                x0 = np.zeros((n_pad, 2), np.float32)
-                x1 = np.zeros((n_pad, 2), np.float32)
-                x0[: len(m)] = np.asarray(
-                    normalize_points(jnp.asarray(uv0), jnp.asarray(Kaf))
-                )
-                x1[: len(m)] = np.asarray(
-                    normalize_points(jnp.asarray(uv1), jnp.asarray(Kbf))
-                )
-                mask = np.zeros(n_pad, bool)
-                mask[: len(m)] = True
-                f_mean = float(np.mean([Kaf[0, 0], Kaf[1, 1],
-                                        Kbf[0, 0], Kbf[1, 1]]))
-                res = estimate_relative_pose(
-                    jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
-                    self._next_rng(),
-                    threshold=cfg.geometry_verify_thr / f_mean,
+            x0 = np.stack([(uv0[:, 0] - Ka[0, 2]) / Ka[0, 0],
+                           (uv0[:, 1] - Ka[1, 2]) / Ka[1, 1]], -1)
+            x1 = np.stack([(uv1[:, 0] - Kb[0, 2]) / Kb[0, 0],
+                           (uv1[:, 1] - Kb[1, 2]) / Kb[1, 1]], -1)
+            f_mean = float(np.mean([Ka[0, 0], Ka[1, 1], Kb[0, 0], Kb[1, 1]]))
+            jobs.append((na, nb, ia, ib, m, x0.astype(np.float32),
+                         x1.astype(np.float32), f_mean))
+
+        # Bucket jobs by padded match count; each bucket runs in fixed-size
+        # chunks so a handful of (n_pad, B_chunk) programs serve any dataset.
+        buckets: Dict[int, list] = {}
+        for j, job in enumerate(jobs):
+            buckets.setdefault(_pad_pow2(len(job[4])), []).append(j)
+
+        results: Dict[int, tuple] = {}  # job idx -> (n_inl, fac, inliers, q, t)
+        for n_pad in sorted(buckets):
+            idxs = buckets[n_pad]
+            # rows = job x factor; chunk to bound the (B, H, N) score tensor
+            budget_elems = 1 << 27  # ~0.5 GB fp32 of hypothesis scores
+            b_chunk = max(8, min(256, budget_elems // (cfg.ransac_hypotheses * n_pad)))
+            b_chunk = 1 << int(np.log2(b_chunk))
+            rows = [(j, fi) for j in idxs for fi in range(nf)]
+            for start in range(0, len(rows), b_chunk):
+                chunk = rows[start : start + b_chunk]
+                B = len(chunk)
+                x0b = np.zeros((b_chunk, n_pad, 2), np.float32)
+                x1b = np.zeros((b_chunk, n_pad, 2), np.float32)
+                maskb = np.zeros((b_chunk, n_pad), bool)
+                thrb = np.full((b_chunk,), 1.0, np.float32)
+                for r, (j, fi) in enumerate(chunk):
+                    _na, _nb, _ia, _ib, m, x0, x1, f_mean = jobs[j]
+                    fac = factors[fi]
+                    x0b[r, : len(m)] = x0 / fac
+                    x1b[r, : len(m)] = x1 / fac
+                    maskb[r, : len(m)] = True
+                    thrb[r] = cfg.geometry_verify_thr / (f_mean * fac)
+                rngs = jax.random.split(self._next_rng(), b_chunk)
+                res = estimate_relative_pose_batch(
+                    jnp.asarray(x0b), jnp.asarray(x1b), jnp.asarray(maskb),
+                    rngs, jnp.asarray(thrb),
                     n_hypotheses=cfg.ransac_hypotheses,
                 )
-                n_inl = int(res.n_inliers)
-                if best is None or n_inl > best[0]:
-                    best = (n_inl, fac, res)
-            n_inl, fac, res = best
-            inl = np.asarray(res.inliers)[: len(m)]
+                n_inl_b = np.asarray(res.n_inliers)
+                inl_b = np.asarray(res.inliers)
+                q_b = np.asarray(res.qvec, np.float64)
+                t_b = np.asarray(res.tvec, np.float64)
+                for r, (j, fi) in enumerate(chunk):
+                    prev = results.get(j)
+                    if prev is None or int(n_inl_b[r]) > prev[0]:
+                        results[j] = (int(n_inl_b[r]), factors[fi],
+                                      inl_b[r], q_b[r], t_b[r])
+
+        out: Dict[Tuple[int, int], dict] = {}
+        votes: Dict[int, list] = {}
+        for j, (_na, _nb, ia, ib, m, _x0, _x1, _f) in enumerate(jobs):
+            if j not in results:
+                continue
+            _n, fac, inliers, qvec, tvec = results[j]
+            inl = inliers[: len(m)]
             if inl.sum() < 8:
                 continue
             votes.setdefault(ia, []).append(fac)
             votes.setdefault(ib, []).append(fac)
             out[(ia, ib)] = {
                 "matches": m[inl],
-                "qvec": np.asarray(res.qvec, np.float64),
-                "tvec": np.asarray(res.tvec, np.float64),
+                "qvec": qvec,
+                "tvec": tvec,
                 "n_inliers": int(inl.sum()),
             }
         if focal_search:
@@ -193,7 +244,96 @@ class IncrementalMapper:
                 cam.params = cam.params.copy()
                 cam.params[0] *= fac
                 cam.params[1] *= fac
+
+        # --- homography degeneracy score (batched, winning factor only) ----
+        if cfg.compute_homography and out:
+            from .twoview import estimate_homography_batch
+
+            key_of_job = {}
+            hbuckets: Dict[int, list] = {}
+            for j, (_na, _nb, ia, ib, m, _x0, _x1, _f) in enumerate(jobs):
+                if (ia, ib) in out and j in results:
+                    key_of_job[j] = (ia, ib)
+                    hbuckets.setdefault(_pad_pow2(len(m)), []).append(j)
+            n_hyp_h = max(64, cfg.ransac_hypotheses // 2)
+            for n_pad in sorted(hbuckets):
+                idxs = hbuckets[n_pad]
+                budget_elems = 1 << 27
+                b_chunk = max(8, min(256, budget_elems // (n_hyp_h * n_pad)))
+                b_chunk = 1 << int(np.log2(b_chunk))
+                for start in range(0, len(idxs), b_chunk):
+                    chunk = idxs[start : start + b_chunk]
+                    x0b = np.zeros((b_chunk, n_pad, 2), np.float32)
+                    x1b = np.zeros((b_chunk, n_pad, 2), np.float32)
+                    maskb = np.zeros((b_chunk, n_pad), bool)
+                    thrb = np.full((b_chunk,), 1.0, np.float32)
+                    for r, j in enumerate(chunk):
+                        _na, _nb, ia, ib, m, x0, x1, f_mean = jobs[j]
+                        fac = results[j][1]
+                        x0b[r, : len(m)] = x0 / fac
+                        x1b[r, : len(m)] = x1 / fac
+                        maskb[r, : len(m)] = True
+                        thrb[r] = cfg.geometry_verify_thr / (f_mean * fac)
+                    rngs = jax.random.split(self._next_rng(), b_chunk)
+                    resh = estimate_homography_batch(
+                        jnp.asarray(x0b), jnp.asarray(x1b), jnp.asarray(maskb),
+                        rngs, jnp.asarray(thrb), n_hypotheses=n_hyp_h,
+                    )
+                    nh = np.asarray(resh.n_inliers)
+                    for r, j in enumerate(chunk):
+                        k = key_of_job[j]
+                        out[k]["h_ratio"] = float(
+                            nh[r] / max(out[k]["n_inliers"], 1)
+                        )
         return out
+
+    def _twoview_pose(self, rec: Reconstruction, ia: int, ib: int,
+                      m: np.ndarray, threshold_px: float,
+                      h_ratio: float = 0.0):
+        """Relative pose of one pair under the CURRENT camera intrinsics
+        (used at init: focal voting rescales per-camera focals after
+        verification, so poses stored at a pair's winning search factor can
+        disagree with the voted intrinsics — re-estimate before seeding).
+
+        Pairs flagged H-dominant (h_ratio > cfg.planar_h_ratio) get their
+        pose from homography decomposition instead — on planar / low-parallax
+        geometry the 8-point essential solution is degenerate (COLMAP
+        PoseFromHomographyMatrix for PLANAR_OR_PANORAMIC pairs)."""
+        from ..core.geometry import rotmat_to_quat as _r2q
+
+        Ka, Kb = rec.K_of_image(ia), rec.K_of_image(ib)
+        uv0 = rec.images[ia].xys[m[:, 0]]
+        uv1 = rec.images[ib].xys[m[:, 1]]
+        n_pad = _pad_pow2(len(m))
+        x0 = np.zeros((n_pad, 2), np.float32)
+        x1 = np.zeros((n_pad, 2), np.float32)
+        x0[: len(m)] = np.stack([(uv0[:, 0] - Ka[0, 2]) / Ka[0, 0],
+                                 (uv0[:, 1] - Ka[1, 2]) / Ka[1, 1]], -1)
+        x1[: len(m)] = np.stack([(uv1[:, 0] - Kb[0, 2]) / Kb[0, 0],
+                                 (uv1[:, 1] - Kb[1, 2]) / Kb[1, 1]], -1)
+        mask = np.zeros(n_pad, bool)
+        mask[: len(m)] = True
+        f_mean = float(np.mean([Ka[0, 0], Ka[1, 1], Kb[0, 0], Kb[1, 1]]))
+        if h_ratio > self.cfg.planar_h_ratio:
+            from .twoview import decompose_homography, estimate_homography
+
+            hres = estimate_homography(
+                jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
+                self._next_rng(), threshold=threshold_px / f_mean,
+                n_hypotheses=self.cfg.ransac_hypotheses,
+            )
+            R, t, _n = decompose_homography(
+                hres.H, jnp.asarray(x0), jnp.asarray(x1), hres.inliers
+            )
+            return (np.asarray(_r2q(R), np.float64),
+                    np.asarray(t, np.float64), int(hres.n_inliers))
+        res = estimate_relative_pose(
+            jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
+            self._next_rng(), threshold=threshold_px / f_mean,
+            n_hypotheses=self.cfg.ransac_hypotheses,
+        )
+        return (np.asarray(res.qvec, np.float64),
+                np.asarray(res.tvec, np.float64), int(res.n_inliers))
 
     # -- triangulation helpers -----------------------------------------------------
 
@@ -266,8 +406,25 @@ class IncrementalMapper:
 
     # -- registration ----------------------------------------------------------------
 
-    def _try_register(self, rec: Reconstruction, img_id: int) -> bool:
+    def _try_register(
+        self, rec: Reconstruction, img_id: int,
+        abs_pose_max_error: Optional[float] = None,
+        min_num_inliers: Optional[int] = None,
+        min_inlier_ratio: Optional[float] = None,
+    ) -> bool:
+        """Register one image by PnP-RANSAC over its 2D-3D correspondences.
+
+        Threshold overrides support the reference's relaxed re-registration
+        pass (src/sfm_runner/reregistration.py:35-46: a separate
+        `reregistration` config with its own abs_pose_* thresholds so images
+        dropped during refinement can be recovered)."""
         cfg = self.cfg
+        max_err = (cfg.abs_pose_max_error if abs_pose_max_error is None
+                   else abs_pose_max_error)
+        min_inl = (cfg.abs_pose_min_num_inliers if min_num_inliers is None
+                   else min_num_inliers)
+        min_ratio = (cfg.abs_pose_min_inlier_ratio if min_inlier_ratio is None
+                     else min_inlier_ratio)
         im = rec.images[img_id]
         X_list, x_list = [], []
         for kpt, tid in self.kpt_track.get(img_id, {}).items():
@@ -276,34 +433,63 @@ class IncrementalMapper:
                 X_list.append(rec.points[pid]["xyz"])
                 x_list.append(im.xys[kpt])
         n = len(X_list)
-        if n < max(6, cfg.abs_pose_min_num_inliers):
+        if n < max(6, min_inl):
             return False
+        from .pnp import estimate_absolute_pose_batch
+
         K = rec.K_of_image(img_id)
         f_mean = float((K[0, 0] + K[1, 1]) / 2)
+        # Focal search during registration for guessed-focal cameras
+        # (COLMAP refines the focal inside absolute-pose estimation for
+        # uncalibrated images; the verification-time vote is a coarse prior
+        # and phototourism focals vary severalfold around it)
+        factors = ((0.5, 0.7, 1.0, 1.4, 2.0)
+                   if (hasattr(self, "unknown_K") and img_id in self.unknown_K)
+                   else (1.0,))
+        nf = len(factors)
         n_pad = _pad_pow2(n)
-        Xp = np.zeros((n_pad, 3), np.float32)
-        xp = np.zeros((n_pad, 2), np.float32)
-        Xp[:n] = np.asarray(X_list)
-        xp[:n] = np.asarray(
-            normalize_points(jnp.asarray(np.asarray(x_list)), jnp.asarray(K))
-        )
-        mask = np.zeros(n_pad, bool)
-        mask[:n] = True
-        res = estimate_absolute_pose(
-            jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(mask),
-            self._next_rng(), threshold=cfg.abs_pose_max_error / f_mean,
+        uv = np.asarray(x_list, np.float64)
+        x_norm = np.stack([(uv[:, 0] - K[0, 2]) / K[0, 0],
+                           (uv[:, 1] - K[1, 2]) / K[1, 1]], -1)
+        Xp = np.zeros((nf, n_pad, 3), np.float32)
+        xp = np.zeros((nf, n_pad, 2), np.float32)
+        maskb = np.zeros((nf, n_pad), bool)
+        thr = np.empty((nf,), np.float32)
+        for fi, fac in enumerate(factors):
+            Xp[fi, :n] = np.asarray(X_list)
+            xp[fi, :n] = x_norm / fac
+            maskb[fi, :n] = True
+            thr[fi] = max_err / (f_mean * fac)
+        rngs = jax.random.split(self._next_rng(), nf)
+        res = estimate_absolute_pose_batch(
+            jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(maskb),
+            rngs, jnp.asarray(thr),
             n_hypotheses=max(64, cfg.ransac_hypotheses // 2),
         )
-        n_inl = int(res.n_inliers)
-        if n_inl < cfg.abs_pose_min_num_inliers or n_inl < cfg.abs_pose_min_inlier_ratio * n:
+        counts = np.asarray(res.n_inliers)
+        best = int(np.argmax(counts))
+        n_inl = int(counts[best])
+        if n_inl < min_inl or n_inl < min_ratio * n:
             return False
-        rec.set_pose(img_id, np.asarray(res.qvec, np.float64),
-                     np.asarray(res.tvec, np.float64))
+        fac = factors[best]
+        if fac != 1.0:
+            cam = rec.cameras[rec.images[img_id].camera_id]
+            cam.params = cam.params.copy()
+            cam.params[0] *= fac
+            cam.params[1] *= fac
+        rec.set_pose(img_id, np.asarray(res.qvec[best], np.float64),
+                     np.asarray(res.tvec[best], np.float64))
         return True
 
     # -- BA + filtering ------------------------------------------------------------
 
-    def global_ba(self, rec: Reconstruction, fixed_ids: Optional[set] = None):
+    def global_ba(self, rec: Reconstruction, fixed_ids: Optional[set] = None,
+                  mesh="auto"):
+        """Global bundle adjustment over the registered model.
+
+        mesh="auto" shards the observation reductions over the process mesh
+        whenever >1 device is visible (sharded and single-device paths are
+        bit-equal — tests/test_sfm.py); pass None to force single-device."""
         reg = sorted(rec.registered_images)
         if len(reg) < 2 or not rec.points:
             return
@@ -331,6 +517,12 @@ class IncrementalMapper:
             # Gauge: fix the first two registered images
             fixed_ids = set(reg[:2])
         fixed = np.array([i in fixed_ids for i in reg])
+        if mesh == "auto":
+            mesh = None
+            if jax.device_count() > 1:
+                from ..parallel.mesh import get_mesh
+
+                mesh = get_mesh()
         q2, t2, intr2, pts2, _cost = bundle_adjust(
             q, t, intr, pts,
             np.asarray(obs_uv, np.float64),
@@ -339,6 +531,7 @@ class IncrementalMapper:
             fixed_cams=fixed,
             refine_focal=self.cfg.refine_focal,
             huber_delta=4.0,
+            mesh=mesh,
         )
         for i, img_id in enumerate(reg):
             rec.set_pose(img_id, q2[i], t2[i])
@@ -467,34 +660,46 @@ class IncrementalMapper:
             for (img_id, kpt) in t.observations:
                 self.kpt_track.setdefault(img_id, {})[kpt] = tid
 
-        # --- initialization: best verified pair by inliers, angle-checked ---
+        # --- initialization ---------------------------------------------------
+        # Evaluate the top max_init_trials verified pairs (by inlier count)
+        # and COMMIT THE ONE THAT TRIANGULATES THE MOST POINTS — not the
+        # first that clears the bar. A high-inlier pair can still be a weak
+        # seed (short baseline: most tracks fail the init triangulation-angle
+        # check), and a starved init cascades into failed registrations.
         ranked = sorted(verified.items(), key=lambda kv: -kv[1]["n_inliers"])
-        init_done = False
+        best_init = None  # (n_tri, (ia, ib), tri, qvec, tvec)
         for (ia, ib), v in ranked[: cfg.max_init_trials]:
+            qv, tv, _ni = self._twoview_pose(
+                rec, ia, ib, v["matches"], cfg.init_max_error,
+                h_ratio=v.get("h_ratio", 0.0),
+            )
             rec.set_pose(ia, np.array([1.0, 0, 0, 0]), np.zeros(3))
-            rec.set_pose(ib, v["qvec"], v["tvec"])
+            rec.set_pose(ib, qv, tv)
             tids_a = set(self.kpt_track.get(ia, {}).values())
             tids_b = set(self.kpt_track.get(ib, {}).values())
             tids = sorted(tids_a & tids_b)
             tri = self._triangulate_tracks(
                 rec, tracks, tids, cfg.init_min_tri_angle_deg, cfg.init_max_error
             )
-            if len(tri) >= 30 or (len(tri) >= 8 and len(ranked) == 1):
-                for tid, (xyz, obs) in tri.items():
-                    pid = rec.add_point(xyz, obs)
-                    if pid >= 0:
-                        self.track_pid[tid] = pid
-                init_done = True
-                init_pair = (ia, ib)
-                if verbose:
-                    print(f"init pair ({ia},{ib}): {len(tri)} points")
-                break
+            if best_init is None or len(tri) > best_init[0]:
+                best_init = (len(tri), (ia, ib), tri, qv, tv)
             rec.images[ia].qvec = None
             rec.images[ia].tvec = None
             rec.images[ib].qvec = None
             rec.images[ib].tvec = None
-        if not init_done:
+        min_init_pts = 30 if len(ranked) > 1 else 8
+        if best_init is None or best_init[0] < min_init_pts:
             return None
+        _n, init_pair, tri, qv, tv = best_init
+        ia, ib = init_pair
+        rec.set_pose(ia, np.array([1.0, 0, 0, 0]), np.zeros(3))
+        rec.set_pose(ib, qv, tv)
+        for tid, (xyz, obs) in tri.items():
+            pid = rec.add_point(xyz, obs)
+            if pid >= 0:
+                self.track_pid[tid] = pid
+        if verbose:
+            print(f"init pair ({ia},{ib}): {len(tri)} points")
 
         self.global_ba(rec, fixed_ids=set(init_pair))
         self.filter_points(rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg)
@@ -550,6 +755,13 @@ class IncrementalMapper:
                 rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg
             )
             self._triangulate_pending(rec)
+            # NOTE: no merge pass here. COLMAP's coarse-mapper merge only
+            # considers correspondence-graph-linked point pairs, and our
+            # union-find track builder already fuses every match-connected
+            # keypoint up front — so at this stage COLMAP-merge is a no-op.
+            # Geometric (proximity) merging belongs to the refinement loop
+            # where thresholds are tight; with the loose coarse thresholds it
+            # collapses real structure (observed: demo registration starved).
             registered_any = False
             for img_id in sorted(rec.images):
                 if rec.images[img_id].registered:
@@ -592,14 +804,19 @@ class IncrementalMapper:
             if pid >= 0:
                 self.track_pid[tid] = pid
 
-    def _complete_image(self, rec: Reconstruction, img_id: int):
+    def _complete_image(self, rec: Reconstruction, img_id: int,
+                        max_error: Optional[float] = None,
+                        cache: Optional[Dict[int, tuple]] = None) -> int:
         """Add this image's observations to already-triangulated tracks when
-        they reproject within threshold (COLMAP tri-complete semantics)."""
+        they reproject within threshold (COLMAP tri-complete semantics,
+        --Mapper.tri_complete_max_reproj_error). Returns #added."""
         cfg = self.cfg
+        thr = cfg.tri_complete_max_reproj_error if max_error is None else max_error
         im = rec.images[img_id]
-        cache = _camera_cache(rec)
+        if cache is None:
+            cache = _camera_cache(rec)
         if img_id not in cache:
-            return
+            return 0
         R, t, _C, K = cache[img_id]
         cand = []
         for kpt, tid in self.kpt_track.get(img_id, {}).items():
@@ -608,7 +825,7 @@ class IncrementalMapper:
                 continue
             cand.append((kpt, pid))
         if not cand:
-            return
+            return 0
         X = np.stack([rec.points[pid]["xyz"] for _, pid in cand])
         uv_obs = np.stack([im.xys[kpt] for kpt, _ in cand])
         Xc = X @ R.T + t
@@ -616,8 +833,154 @@ class IncrementalMapper:
         z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
         uvp = (Xc / z_safe[:, None]) @ K.T
         err = np.linalg.norm(uvp[:, :2] - uv_obs, axis=-1)
-        ok = (z > 1e-6) & (err <= cfg.filter_max_reproj_error)
+        ok = (z > 1e-6) & (err <= thr)
+        n_added = 0
         for (kpt, pid), good in zip(cand, ok):
             if good:
                 im.point3D_ids[kpt] = pid
                 rec.points[pid]["track"].append((img_id, kpt))
+                n_added += 1
+        return n_added
+
+    def complete_tracks(self, rec: Reconstruction,
+                        max_error: Optional[float] = None) -> int:
+        """Tri-complete over every registered image (the per-iteration
+        completion pass of COLMAP's incremental_model_refiner verb —
+        reference sfm_model_geometry_refiner.py:33-36 sets
+        tri_complete_max_reproj_error each refinement iteration)."""
+        cache = _camera_cache(rec)
+        return sum(
+            self._complete_image(rec, img_id, max_error, cache)
+            for img_id in sorted(rec.registered_images)
+        )
+
+    def merge_tracks(self, rec: Reconstruction,
+                     max_reproj_error: float) -> int:
+        """COLMAP track-merge semantics (--Mapper.tri_merge_max_reproj_error,
+        reference sfm_model_geometry_refiner.py:30-33): merge two 3D points
+        when the union of their tracks reprojects within threshold at the
+        track-length-weighted mean position. Candidates come from 3D
+        proximity (kNN at a depth-scaled radius) instead of COLMAP's
+        correspondence graph: our union-find track builder already fuses all
+        match-connected keypoints, so remaining duplicates are geometric
+        (grid-merge near-duplicates, missed matches). Returns #merges."""
+        from scipy.spatial import cKDTree
+
+        pids = sorted(rec.points)
+        if len(pids) < 2:
+            return 0
+        cache = _camera_cache(rec)
+        X = np.stack([rec.points[p]["xyz"] for p in pids])
+
+        # Per-point merge radius: thr px at the point's median viewing scale
+        # (depth / focal px->3D conversion).
+        scales = np.full(len(pids), np.inf)
+        for r, pid in enumerate(pids):
+            ds = []
+            for (img_id, _k) in rec.points[pid]["track"]:
+                if img_id not in cache:
+                    continue
+                R, t, _C, K = cache[img_id]
+                depth = float((R @ rec.points[pid]["xyz"] + t)[2])
+                f = float((K[0, 0] + K[1, 1]) * 0.5)
+                if depth > 1e-9:
+                    ds.append(depth / f)
+            if ds:
+                scales[r] = float(np.median(ds))
+        radius = max_reproj_error * scales
+        finite = np.isfinite(radius)
+        if not finite.any():
+            return 0
+        rmax = float(np.percentile(radius[finite], 90))
+
+        tree = cKDTree(X)
+        cand_pairs = sorted(tree.query_pairs(rmax))
+
+        # Conservative linkage gate (stands in for COLMAP's correspondence
+        # graph). Two candidate points are linked when either
+        #   (a) their observations belong to the same union-find track
+        #       (a split track — the exact case COLMAP's graph linkage
+        #       covers), or
+        #   (b) they observe a COMMON image with 2D keypoints within
+        #       threshold there (grid-merge / missed-match duplicates).
+        # Pure 3D proximity without this gate merges real neighboring
+        # structure (observed on the demo scene).
+        have_graph = hasattr(self, "kpt_track")
+
+        def _tids(p):
+            s = set()
+            for (i, k) in rec.points[p]["track"]:
+                tid = self.kpt_track.get(i, {}).get(k)
+                if tid is not None:
+                    s.add(tid)
+            return s
+
+        def _linked(pa, pb):
+            if have_graph and (_tids(pa) & _tids(pb)):
+                return True
+            obs_a = {i: rec.images[i].xys[k]
+                     for (i, k) in rec.points[pa]["track"]}
+            for (i, k) in rec.points[pb]["track"]:
+                if i in obs_a:
+                    d = np.linalg.norm(rec.images[i].xys[k] - obs_a[i])
+                    if d <= max_reproj_error:
+                        return True
+            return False
+
+        def _track_ok(track, xyz):
+            uvs, Rs, ts, Ks = [], [], [], []
+            for (img_id, kpt) in track:
+                if img_id not in cache:
+                    continue
+                R, t, _C, K = cache[img_id]
+                uvs.append(rec.images[img_id].xys[kpt])
+                Rs.append(R); ts.append(t); Ks.append(K)
+            if not uvs:
+                return True
+            Xc = np.asarray(Rs) @ xyz + np.asarray(ts)
+            z = Xc[:, 2]
+            if np.any(z <= 1e-6):
+                return False
+            uvp = np.einsum("nij,nj->ni", np.asarray(Ks), Xc / z[:, None])[:, :2]
+            err = np.linalg.norm(uvp - np.asarray(uvs), axis=-1)
+            return bool(np.all(err <= max_reproj_error))
+
+        # pid -> track ids (to redirect self.track_pid after merges)
+        pid_tids: Dict[int, list] = {}
+        if hasattr(self, "track_pid"):
+            for tid, pid in enumerate(self.track_pid):
+                if pid >= 0:
+                    pid_tids.setdefault(int(pid), []).append(tid)
+
+        alias = {}  # merged-away pid -> surviving pid
+
+        def _resolve(p):
+            while p in alias:
+                p = alias[p]
+            return p
+
+        n_merged = 0
+        for a_idx, b_idx in cand_pairs:
+            pa, pb = _resolve(pids[a_idx]), _resolve(pids[b_idx])
+            if pa == pb or pa not in rec.points or pb not in rec.points:
+                continue
+            A, B = rec.points[pa], rec.points[pb]
+            d = float(np.linalg.norm(A["xyz"] - B["xyz"]))
+            lim = min(radius[a_idx], radius[b_idx])
+            if not np.isfinite(lim) or d > lim:
+                continue
+            na, nb = len(A["track"]), len(B["track"])
+            if not _linked(pa, pb):
+                continue
+            xyz = (na * A["xyz"] + nb * B["xyz"]) / (na + nb)
+            if not _track_ok(A["track"] + B["track"], xyz):
+                continue
+            keep, drop = (pa, pb) if na >= nb else (pb, pa)
+            rec.merge_points(keep, drop, xyz)
+            alias[drop] = keep
+            for tid in pid_tids.get(drop, []):
+                if hasattr(self, "track_pid"):
+                    self.track_pid[tid] = keep
+            pid_tids.setdefault(keep, []).extend(pid_tids.pop(drop, []))
+            n_merged += 1
+        return n_merged

@@ -130,6 +130,26 @@ def estimate_absolute_pose(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_absolute_pose_batch(
+    X: jax.Array,           # (B, N, 3)
+    x: jax.Array,           # (B, N, 2)
+    mask: jax.Array,        # (B, N)
+    rngs: jax.Array,        # (B, 2)
+    thresholds: jax.Array,  # (B,)
+    n_hypotheses: int = 256,
+) -> PnPResult:
+    """vmapped PnP-RANSAC — one program for a batch of registration
+    attempts (e.g. the mapper's per-registration focal-factor search, the
+    analogue of COLMAP's focal-length refinement during absolute pose
+    estimation for cameras without trusted intrinsics)."""
+    return jax.vmap(
+        lambda a, b, m, r, t: estimate_absolute_pose(
+            a, b, m, r, t, n_hypotheses=n_hypotheses
+        )
+    )(X, x, mask, rngs, thresholds)
+
+
 def refine_pose(qvec, tvec, X, x, mask, iters: int = 10):
     """Public pose polish used after registration (normalized coords)."""
     R = quat_to_rotmat(qvec)

@@ -118,6 +118,175 @@ def _cheirality_count(R, t, x0, x1, mask):
     return jnp.sum(ok.astype(jnp.int32))
 
 
+class HomographyResult(NamedTuple):
+    H: jax.Array          # (3, 3) homography x1 ~ H x0 (normalized coords)
+    inliers: jax.Array    # (N,) bool
+    n_inliers: jax.Array  # () int32
+
+
+def _four_point_h(x0: jax.Array, x1: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted DLT homography: (..., N, 2) -> (..., 3, 3) with x1 ~ H x0.
+
+    Rows of A per correspondence (u0,v0)->(u1,v1):
+      [ -u0 -v0 -1   0   0  0  u1*u0 u1*v0 u1 ]
+      [  0   0   0 -u0 -v0 -1  v1*u0 v1*v0 v1 ]
+    Solved as the smallest eigenvector of A^T A (9x9 eigh, TPU-friendly).
+    """
+    u0, v0 = x0[..., 0], x0[..., 1]
+    u1, v1 = x1[..., 0], x1[..., 1]
+    one = jnp.ones_like(u0)
+    zero = jnp.zeros_like(u0)
+    r1 = jnp.stack([-u0, -v0, -one, zero, zero, zero,
+                    u1 * u0, u1 * v0, u1], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -u0, -v0, -one,
+                    v1 * u0, v1 * v0, v1], axis=-1)
+    A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    h = vecs[..., :, 0]
+    return h.reshape(*h.shape[:-1], 3, 3)
+
+
+def homography_error(H: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
+    """Squared forward transfer error |x1 - H(x0)|^2 in normalized coords."""
+    ones = jnp.ones_like(x0[..., :1])
+    p0 = jnp.concatenate([x0, ones], axis=-1)
+    Hp = jnp.einsum("...ij,...nj->...ni", H, p0)
+    z = Hp[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    pred = Hp[..., :2] / z_safe[..., None]
+    return jnp.sum((pred - x1) ** 2, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_homography(
+    x0: jax.Array,      # (N, 2) normalized coords
+    x1: jax.Array,
+    mask: jax.Array,    # (N,) bool
+    rng: jax.Array,
+    threshold: float,   # transfer-error threshold (normalized units)
+    n_hypotheses: int = 256,
+) -> HomographyResult:
+    """Batched-hypothesis 4-point homography RANSAC. Used for COLMAP-style
+    degenerate-configuration detection: a pair whose correspondences are
+    mostly H-consistent is planar or near-pure-rotation, where 8-point E
+    estimation silently produces junk (COLMAP TwoViewGeometry model
+    selection — SURVEY.md §2.3 L0 geometric-verification contract)."""
+    n = x0.shape[0]
+    gumbel = jax.random.gumbel(rng, (n_hypotheses, n))
+    scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, 4)
+    s0, s1 = x0[idx], x1[idx]
+    H_h = _four_point_h(s0, s1, jnp.ones(idx.shape, jnp.float32))
+    err = homography_error(H_h, x0[None], x1[None])
+    inl = (err < threshold**2) & mask[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(counts)
+    # Weighted refit on the best hypothesis' inliers
+    w_best = inl[best].astype(jnp.float32) * mask.astype(jnp.float32)
+    H_refit = _four_point_h(x0, x1, w_best)
+    err_r = homography_error(H_refit, x0, x1)
+    inl_r = (err_r < threshold**2) & mask
+    use_refit = jnp.sum(inl_r) >= counts[best]
+    H_best = jnp.where(use_refit, H_refit, H_h[best])
+    inliers = jnp.where(use_refit, inl_r, inl[best])
+    return HomographyResult(
+        H=H_best, inliers=inliers,
+        n_inliers=jnp.sum(inliers.astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_homography_batch(
+    x0: jax.Array, x1: jax.Array, mask: jax.Array, rngs: jax.Array,
+    thresholds: jax.Array, n_hypotheses: int = 256,
+) -> HomographyResult:
+    return jax.vmap(
+        lambda a, b, m, r, t: estimate_homography(
+            a, b, m, r, t, n_hypotheses=n_hypotheses
+        )
+    )(x0, x1, mask, rngs, thresholds)
+
+
+def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
+                         mask: jax.Array):
+    """Pose from a normalized-coordinate homography (planar scene):
+    H ~ R + t n^T / d. Returns (R, t_unit, n) of the candidate with the best
+    cheirality support (Malis-Vargas / Faugeras analytic decomposition,
+    the role of COLMAP's PoseFromHomographyMatrix for planar init pairs)."""
+    U, S, Vt = jnp.linalg.svd(H)
+    H_n = H / S[1]                      # normalize so middle singular value=1
+    # Resolve the DLT sign ambiguity: projective H and -H are equivalent but
+    # the decomposition needs the sign with positive transfer scale,
+    # mean over valid correspondences of p1 . (H p0) > 0 (without it every
+    # candidate rotation comes out 180 deg off and cheirality rejects all).
+    ones = jnp.ones_like(x0[..., :1])
+    p0 = jnp.concatenate([x0, ones], axis=-1)
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    dots = jnp.sum(p1 * (p0 @ H_n.T), -1) * mask.astype(H_n.dtype)
+    H_n = H_n * jnp.sign(jnp.sum(dots))
+    # Work in the frame of H_n^T H_n's eigenvectors
+    _, S2, V2t = jnp.linalg.svd(H_n.T @ H_n)
+    V2 = V2t.T
+    # Ensure right-handed
+    V2 = V2 * jnp.sign(jnp.linalg.det(V2))
+    s1, s3 = S2[0], S2[2]
+    v1, v2, v3 = V2[:, 0], V2[:, 1], V2[:, 2]
+    # Degenerate (pure rotation): s1 ~ s3 ~ 1
+    denom = jnp.sqrt(jnp.maximum(s1 - s3, 1e-12))
+    u1 = (jnp.sqrt(jnp.maximum(1.0 - s3, 0.0)) * v1
+          + jnp.sqrt(jnp.maximum(s1 - 1.0, 0.0)) * v3) / denom
+    u2 = (jnp.sqrt(jnp.maximum(1.0 - s3, 0.0)) * v1
+          - jnp.sqrt(jnp.maximum(s1 - 1.0, 0.0)) * v3) / denom
+
+    def pose_from(u):
+        U1 = jnp.stack([v2, u, jnp.cross(v2, u)], axis=1)
+        W1 = jnp.stack([H_n @ v2, H_n @ u,
+                        jnp.cross(H_n @ v2, H_n @ u)], axis=1)
+        R = W1 @ U1.T
+        n = jnp.cross(v2, u)
+        t = (H_n - R) @ n
+        return R, t, n
+
+    cands = []
+    for u in (u1, u2):
+        R, t, n = pose_from(u)
+        cands.append((R, t, n))
+        cands.append((R, -t, -n))
+
+    votes = jnp.stack([
+        _cheirality_count(R, t / jnp.maximum(jnp.linalg.norm(t), 1e-12),
+                          x0, x1, mask)
+        for (R, t, n) in cands
+    ])
+    k = jnp.argmax(votes)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    ns = jnp.stack([c[2] for c in cands])
+    t = ts[k]
+    return Rs[k], t / jnp.maximum(jnp.linalg.norm(t), 1e-12), ns[k]
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def estimate_relative_pose_batch(
+    x0: jax.Array,          # (B, N, 2)
+    x1: jax.Array,          # (B, N, 2)
+    mask: jax.Array,        # (B, N)
+    rngs: jax.Array,        # (B, 2) PRNG keys
+    thresholds: jax.Array,  # (B,) per-row Sampson thresholds
+    n_hypotheses: int = 512,
+) -> TwoViewResult:
+    """Verify a whole bucket of pairs as ONE program: vmapped essential
+    RANSAC. Replaces the reference's Ray fan-out of per-pair geometric
+    verification (src/coarse_match/coarse_match.py:104-160) — pairs are
+    padded to a shared N and the batch shards over the device mesh."""
+    return jax.vmap(
+        lambda a, b, m, r, t: estimate_relative_pose(
+            a, b, m, r, t, n_hypotheses=n_hypotheses
+        )
+    )(x0, x1, mask, rngs, thresholds)
+
+
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
 def estimate_relative_pose(
     x0: jax.Array,      # (N, 2) normalized coords in view0 (padded)

@@ -41,6 +41,8 @@ def test_demo_scene_reconstructs_from_cached_matches():
     cfg = MapperConfig(
         geometry_verify_thr=10 * f, init_max_error=10 * f,
         abs_pose_max_error=12 * f, filter_max_reproj_error=10 * f,
+        tri_merge_max_reproj_error=10 * f,
+        tri_complete_max_reproj_error=10 * f,
         abs_pose_min_num_inliers=8, refine_focal=True,
         min_model_size=3, min_tri_angle_deg=1.0,
     )

@@ -140,3 +140,88 @@ def test_refine_loop_failure_fallback(monkeypatch):
         np.testing.assert_allclose(rec.images[i].tvec, t)
     for p, xyz in pts_before.items():
         np.testing.assert_allclose(rec.points[p]["xyz"], xyz)
+
+
+def test_merge_tracks_joins_split_track():
+    """Splitting one GT track into two 3D points must be undone by
+    merge_tracks (reference tri_merge_max_reproj_error semantics,
+    sfm_model_geometry_refiner.py:30-33)."""
+    rec, mapper = _small_reconstruction()
+    # Pick a point with a long track and split it in half
+    pid = max(rec.points, key=lambda p: len(rec.points[p]["track"]))
+    track = list(rec.points[pid]["track"])
+    assert len(track) >= 4
+    moved = track[len(track) // 2:]
+    for img_id, kpt in moved:
+        rec.points[pid]["track"] = [
+            (i, k) for (i, k) in rec.points[pid]["track"]
+            if not (i == img_id and k == kpt)
+        ]
+        rec.images[img_id].point3D_ids[kpt] = -1
+    xyz = rec.points[pid]["xyz"]
+    new_pid = rec.add_point(xyz + 1e-4, moved)
+    assert new_pid > 0
+    n_before = len(rec.points)
+
+    n_merged = mapper.merge_tracks(rec, max_reproj_error=4.0)
+    assert n_merged >= 1
+    assert len(rec.points) < n_before
+    # The surviving point carries the full original track again
+    survivor = pid if pid in rec.points else new_pid
+    assert survivor in rec.points
+    assert len(rec.points[survivor]["track"]) == len(track)
+    for img_id, kpt in rec.points[survivor]["track"]:
+        assert rec.images[img_id].point3D_ids[kpt] == survivor
+
+
+def test_merge_tracks_respects_threshold():
+    """Two genuinely distinct points must NOT merge."""
+    rec, mapper = _small_reconstruction()
+    n_before = len(rec.points)
+    # A tight threshold on a clean model: nothing mergeable
+    n_merged = mapper.merge_tracks(rec, max_reproj_error=0.05)
+    assert n_merged == 0
+    assert len(rec.points) == n_before
+
+
+def test_reregistration_relaxed_thresholds():
+    """An image that fails the mapper's strict inlier count must register
+    under the relaxed re-registration overrides (reference
+    reregistration.py:35-46)."""
+    rec, mapper = _small_reconstruction()
+    img_id = rec.registered_images[-1]
+    rec.deregister(img_id)
+    assert not rec.images[img_id].registered
+    n_corr = sum(
+        1 for kpt, tid in mapper.kpt_track.get(img_id, {}).items()
+        if mapper.track_pid[tid] >= 0 and int(mapper.track_pid[tid]) in rec.points
+    )
+    assert n_corr >= 6
+    # Strict: demand more inliers than correspondences exist -> fail
+    assert not mapper._try_register(rec, img_id,
+                                    min_num_inliers=n_corr + 10)
+    assert not rec.images[img_id].registered
+    # Relaxed: reference-style loosened thresholds -> succeed
+    assert mapper._try_register(
+        rec, img_id, abs_pose_max_error=12.0,
+        min_num_inliers=6, min_inlier_ratio=0.1,
+    )
+    assert rec.images[img_id].registered
+
+
+def test_pack_track_bags_long_seed_track():
+    """A seed track observed by more images than max_imgs_per_bag must be
+    truncated to in-bag views (keeping the reference view) instead of
+    raising KeyError (round-1 ADVICE finding)."""
+    rec, _ = _small_reconstruction()
+    bags = pack_track_bags(
+        rec, max_track_length=8, max_imgs_per_bag=3, chunk_tracks=64
+    )
+    assert bags
+    for bag in bags:
+        assert len(bag.image_ids) <= 3
+        t = len(bag.point_ids)
+        assert bag.node_mask[:t, 0].all()            # ref view survives
+        assert bag.node_img[bag.node_mask].max() < len(bag.image_ids)
+        # every live row keeps >= 2 views (ref + >=1 query)
+        assert bag.node_mask[:t].sum(axis=1).min() >= 2

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Generate a synthetic posed-RGBD corpus for supervised training + eval.
+
+Writes MegaDepth-style scene indexes (consumed by `cli.py train` /
+`train-matcher`) and optional eval-layout scenes with GT poses/intrinsics
+(consumed by `cli.py eval-dataset` for pose-AUC protocol numbers).
+
+Usage:
+  python tools/make_synthetic_dataset.py --out data/synth --n-scenes 24 \
+      --n-eval-scenes 3 --size 512 --views 8
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from detectorfreesfm_tpu.data.synthetic import (  # noqa: E402
+    SyntheticConfig, write_scene, write_scene_eval_layout,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-scenes", type=int, default=24)
+    ap.add_argument("--n-eval-scenes", type=int, default=3)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--tuple-size", type=int, default=4)
+    ap.add_argument("--n-tuples", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = SyntheticConfig(
+        size=args.size, n_views=args.views,
+        tuple_size=args.tuple_size, n_tuples=args.n_tuples,
+    )
+    train_dir = os.path.join(args.out, "train")
+    os.makedirs(train_dir, exist_ok=True)
+    for i in range(args.n_scenes):
+        t0 = time.time()
+        p = write_scene(train_dir, f"scene_{i:04d}", args.seed + i, cfg)
+        print(f"[{i + 1}/{args.n_scenes}] {p} ({time.time() - t0:.1f}s)",
+              flush=True)
+    for i in range(args.n_eval_scenes):
+        d = os.path.join(args.out, "eval", f"scene_{i:04d}")
+        write_scene_eval_layout(d, args.seed + 10_000 + i, cfg)
+        print(f"eval scene {d}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
