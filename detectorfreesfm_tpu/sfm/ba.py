@@ -244,6 +244,130 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     return cam_R, cam_t, intr, points
 
 
+@functools.partial(jax.jit, static_argnames=("huber_delta", "cg_iters"))
+def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
+                cg_iters: int = 100):
+    """One damped LM step solving the camera Schur system with MATRIX-FREE
+    preconditioned conjugate gradients (Ceres ITERATIVE_SCHUR +
+    SCHUR_JACOBI equivalent).
+
+    The dense path (lm_step) assembles S as (C, C, 7, 7) plus a
+    (P, T, T, 7, 7) pair tensor — O(C^2 + P T^2) memory, hopeless past a few
+    hundred cameras. Here S is never formed: each CG iteration applies
+      S v = (U + lam diag) v  -  sum_o Y_o ( sum_{o' in track(pt(o))} W_{o'}^T v_{cam(o')} )
+    as two segment-sums + per-observation einsums — O(O) memory, and the
+    reductions shard over the mesh exactly like the Jacobian work (BASELINE
+    north star: Bridge-scale multi-host Schur over ICI/DCN).
+
+    Preconditioner: exact S diagonal blocks D_c = U_c - sum_{o: cam(o)=c}
+    Y_o W_o^T (one observation per camera per track, so the off-diagonal
+    same-camera terms vanish) — the SCHUR_JACOBI block preconditioner.
+    """
+    C = prob.cam_R.shape[0]
+    P = prob.points.shape[0]
+    dtype = prob.points.dtype
+    rw, Aw, Bw, _ = _weighted_system(prob, huber_delta)
+
+    U = jax.ops.segment_sum(
+        jnp.einsum("oik,oil->okl", Aw, Aw), prob.obs_cam, num_segments=C
+    )
+    b_cam = jax.ops.segment_sum(
+        -jnp.einsum("oik,oi->ok", Aw, rw), prob.obs_cam, num_segments=C
+    )
+    V = jax.ops.segment_sum(
+        jnp.einsum("oik,oil->okl", Bw, Bw), prob.obs_pt, num_segments=P
+    )
+    b_pt = jax.ops.segment_sum(
+        -jnp.einsum("oik,oi->ok", Bw, rw), prob.obs_pt, num_segments=P
+    )
+
+    eyeC = jnp.eye(CAM_DOF, dtype=dtype)
+    eyeP = jnp.eye(3, dtype=dtype)
+    U = U + lam * (U * eyeC) + 1e-8 * eyeC
+    V = V + lam * (V * eyeP) + 1e-8 * eyeP
+    V_inv = jnp.linalg.inv(V)
+
+    W = jnp.einsum("oik,oil->okl", Aw, Bw)               # (O, 7, 3)
+    Y = jnp.einsum("okl,olm->okm", W, V_inv[prob.obs_pt])
+
+    occupied = jax.ops.segment_sum(
+        prob.obs_mask.astype(dtype), prob.obs_cam, num_segments=C
+    ) > 0
+    free_blk = (~prob.fixed_cams) & occupied
+    free = free_blk.astype(dtype)
+
+    # Reduced rhs
+    red = jax.ops.segment_sum(
+        jnp.einsum("okm,om->ok", Y, b_pt[prob.obs_pt]),
+        prob.obs_cam, num_segments=C,
+    )
+    b_red = (b_cam - red) * free[:, None]
+
+    def S_mv(v):  # v (C, 7) -> S v (C, 7), fixed blocks = identity
+        vf = v * free[:, None]
+        u = jnp.einsum("ckl,cl->ck", U, vf)
+        z = jax.ops.segment_sum(
+            jnp.einsum("okl,ok->ol", W, vf[prob.obs_cam]),
+            prob.obs_pt, num_segments=P,
+        )                                                # (P, 3)
+        corr = jax.ops.segment_sum(
+            jnp.einsum("okm,om->ok", Y, z[prob.obs_pt]),
+            prob.obs_cam, num_segments=C,
+        )
+        return (u - corr) * free[:, None] + v * (1.0 - free)[:, None]
+
+    # SCHUR_JACOBI preconditioner blocks
+    diag_corr = jax.ops.segment_sum(
+        jnp.einsum("okm,olm->okl", Y, W), prob.obs_cam, num_segments=C
+    )
+    D = U - diag_corr
+    D = (D * free[:, None, None]
+         + (1.0 - free)[:, None, None] * eyeC)
+    D_inv = jnp.linalg.inv(D + 1e-8 * eyeC)
+
+    def M_inv(v):
+        return jnp.einsum("ckl,cl->ck", D_inv, v)
+
+    # PCG on (C, 7)
+    x0 = jnp.zeros((C, CAM_DOF), dtype)
+    r0 = b_red - S_mv(x0)
+    z0 = M_inv(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(_, state):
+        x, r, p, rz = state
+        Sp = S_mv(p)
+        denom = jnp.sum(p * Sp)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = M_inv(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        # Converged state is a fixpoint: r ~ 0 -> z ~ 0 -> alpha, beta ~ 0
+        return (x, r, p, rz_new)
+
+    delta_c, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x0, r0, p0, rz0))
+    delta_c = delta_c * free[:, None]
+
+    # Back-substitute points
+    WtD = jax.ops.segment_sum(
+        jnp.einsum("okl,ok->ol", W, delta_c[prob.obs_cam]),
+        prob.obs_pt, num_segments=P,
+    )
+    delta_p = jnp.einsum("pkl,pl->pk", V_inv, b_pt - WtD)
+
+    dR = so3_exp(delta_c[:, :3])
+    cam_R = dR @ prob.cam_R
+    cam_t = prob.cam_t + delta_c[:, 3:6]
+    f_scale = jnp.exp(delta_c[:, 6])
+    intr = prob.intr.at[:, 0].mul(f_scale).at[:, 1].mul(f_scale)
+    points = prob.points + delta_p
+    return cam_R, cam_t, intr, points
+
+
 def bundle_adjust(
     qvec: np.ndarray,        # (C, 4)
     tvec: np.ndarray,        # (C, 3)
@@ -258,6 +382,8 @@ def bundle_adjust(
     huber_delta: float = 2.0,
     max_track: int | None = None,
     mesh=None,               # jax.sharding.Mesh -> shard obs over "data"
+    schur_mode: str = "auto",  # "dense" | "pcg" | "auto" (pcg past 120 cams)
+    cg_iters: int = 100,
     verbose: bool = False,
 ):
     """Host LM driver around the jitted Schur step.
@@ -276,6 +402,7 @@ def bundle_adjust(
     C, P, O = len(qvec), len(points), len(obs_uv)
     if O == 0 or P == 0:
         return qvec, tvec, intr, points, 0.0
+    use_pcg = schur_mode == "pcg" or (schur_mode == "auto" and C > 120)
 
     # Scene normalization for f32 conditioning
     center = points.mean(0)
@@ -287,18 +414,24 @@ def bundle_adjust(
     t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
 
     # Build per-point padded track->obs table (vectorized: rank of each
-    # observation within its point's sorted group)
-    order = np.argsort(obs_pt, kind="stable")
-    counts = np.bincount(obs_pt, minlength=P)
-    T = int(max_track or max(int(counts.max()), 2))
-    track_obs = np.full((P, T), O, np.int32)
-    track_mask = np.zeros((P, T), bool)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pt_sorted = obs_pt[order]
-    rank = np.arange(O) - starts[pt_sorted]
-    keep = rank < T
-    track_obs[pt_sorted[keep], rank[keep]] = order[keep].astype(np.int32)
-    track_mask[pt_sorted[keep], rank[keep]] = True
+    # observation within its point's sorted group). The PCG path never
+    # touches it — its Schur product is matrix-free — so it gets a minimal
+    # dummy instead of an O(P*T) table.
+    if use_pcg:
+        track_obs = np.full((P, 1), O, np.int32)
+        track_mask = np.zeros((P, 1), bool)
+    else:
+        order = np.argsort(obs_pt, kind="stable")
+        counts = np.bincount(obs_pt, minlength=P)
+        T = int(max_track or max(int(counts.max()), 2))
+        track_obs = np.full((P, T), O, np.int32)
+        track_mask = np.zeros((P, T), bool)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pt_sorted = obs_pt[order]
+        rank = np.arange(O) - starts[pt_sorted]
+        keep = rank < T
+        track_obs[pt_sorted[keep], rank[keep]] = order[keep].astype(np.int32)
+        track_mask[pt_sorted[keep], rank[keep]] = True
 
     # Pad obs arrays by one dummy slot (index O used by padded track entries),
     # then (sharded path) up to a device multiple so leading axes split evenly
@@ -360,9 +493,14 @@ def bundle_adjust(
     lam = 1e-3
     cost = float(ba_cost(prob, huber_delta))
     for it in range(max_iters):
-        cam_R, cam_t, new_intr, new_pts = lm_step(
-            prob, jnp.asarray(lam, dt), huber_delta
-        )
+        if use_pcg:
+            cam_R, cam_t, new_intr, new_pts = lm_step_pcg(
+                prob, jnp.asarray(lam, dt), huber_delta, cg_iters
+            )
+        else:
+            cam_R, cam_t, new_intr, new_pts = lm_step(
+                prob, jnp.asarray(lam, dt), huber_delta
+            )
         cand = prob._replace(cam_R=cam_R, cam_t=cam_t, intr=new_intr, points=new_pts)
         new_cost = float(ba_cost(cand, huber_delta))
         if verbose:
