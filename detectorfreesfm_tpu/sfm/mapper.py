@@ -786,13 +786,19 @@ class IncrementalMapper:
         return rec
 
     def _triangulate_pending(self, rec: Reconstruction):
-        """Triangulate every track without a 3D point that now has >= 2
-        registered observations."""
+        """Triangulate every track without a LIVE 3D point that now has >= 2
+        registered observations. Tracks whose point was removed by filtering
+        count as pending again (COLMAP keeps retriangulating filtered tracks
+        each round; a better model after BA can revive them)."""
         cfg = self.cfg
-        pending = sorted(
-            tid for tid in range(len(self.tracks))
-            if self.track_pid[tid] < 0
-        )
+        pending = []
+        for tid in range(len(self.tracks)):
+            pid = int(self.track_pid[tid])
+            if pid < 0:
+                pending.append(tid)
+            elif pid not in rec.points:
+                self.track_pid[tid] = -1
+                pending.append(tid)
         if not pending:
             return
         tri = self._triangulate_tracks(
