@@ -278,6 +278,7 @@ def cmd_train_matcher(args) -> int:
         [len(d) for d in datasets], n_per_scene=args.samples_per_scene
     )
     cfg = MatcherTrainConfig(
+        arch=getattr(args, "arch", "loftr"),
         matcher=MatcherConfig(compute_dtype=args.dtype_train),
         optim=OptimConfig(
             true_batch_size=args.batch_size * jax.process_count(),
@@ -422,6 +423,9 @@ def main(argv=None) -> int:
     sm.add_argument("--init-ckpt", default=None, dest="init_ckpt",
                     help="warm-start from a previous checkpoint")
     sm.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    sm.add_argument("--arch", default="loftr",
+                    choices=["loftr", "aspan", "matchformer"],
+                    help="matcher family to train")
     sm.set_defaults(fn=cmd_train_matcher)
 
     ss = sub.add_parser("train-matcher-selfsup",

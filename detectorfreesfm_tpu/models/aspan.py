@@ -128,7 +128,8 @@ class ASpanMatcher(nn.Module):
 
     @nn.compact
     def __call__(self, image0, image1, valid_hw0=None, valid_hw1=None,
-                 train: bool = False) -> MatchOutput:
+                 train: bool = False,
+                 return_conf: bool = False) -> MatchOutput:
         from ..ops.dual_softmax import border_mask
 
         cfg = self.cfg
@@ -186,6 +187,9 @@ class ASpanMatcher(nn.Module):
                  (idx // w8).astype(jnp.float32) * 8.0], axis=-1,
             )
 
-        return MatchOutput(
+        out = MatchOutput(
             to_xy(matches.idx0), to_xy(matches.idx1), matches.conf, matches.valid
         )
+        if return_conf:  # dense conf for supervised training (focal loss)
+            return out, conf
+        return out

@@ -87,7 +87,8 @@ class MatchFormerMatcher(nn.Module):
 
     @nn.compact
     def __call__(self, image0, image1, valid_hw0=None, valid_hw1=None,
-                 train: bool = False) -> MatchOutput:
+                 train: bool = False,
+                 return_conf: bool = False) -> MatchOutput:
         cfg = self.cfg
         b, h, wd = image0.shape[:3]
         x0 = image0.astype(cfg.dtype)
@@ -144,6 +145,9 @@ class MatchFormerMatcher(nn.Module):
                  (idx // w8).astype(jnp.float32) * 8.0], axis=-1,
             )
 
-        return MatchOutput(
+        out = MatchOutput(
             to_xy(matches.idx0), to_xy(matches.idx1), matches.conf, matches.valid
         )
+        if return_conf:  # dense conf for supervised training (focal loss)
+            return out, conf
+        return out

@@ -15,7 +15,13 @@ src/sfm_runner/sfm_model_geometry_refiner.py): per iteration,
      and reproj/angle filtering at per-iteration thresholds [3, 2, 1.5] px;
   4. re-register dropped images on even iterations.
 
-All neural work is static-shape bag batches; the loop itself is host logic.
+All neural work runs as ONE flat scene-wide track table (refine/bags.py::
+pack_track_table) chunked and sharded over the device mesh; the loop itself
+is host logic. Cross-bag reference-point consistency (the reference's
+UpdatedQueryPts / query_movable_mask buffer, multiview_match_worker.py:85-110)
+is structural here: every 3D point is exactly one table row (a keypoint maps
+to at most one point), so a reference point is refined exactly once per
+iteration and no later batch can observe stale coordinates.
 """
 
 from __future__ import annotations

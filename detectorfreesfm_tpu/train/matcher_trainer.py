@@ -27,6 +27,7 @@ from .optimizers import OptimConfig, build_optimizer
 
 @dataclasses.dataclass(frozen=True)
 class MatcherTrainConfig:
+    arch: str = "loftr"  # loftr | aspan | matchformer (models.build_matcher)
     matcher: MatcherConfig = MatcherConfig()
     optim: OptimConfig = OptimConfig(backbone_path="backbone")
     grid: int = 8
@@ -47,7 +48,19 @@ class MatcherTrainer:
             devs = np.asarray(jax.devices())
             mesh = Mesh(devs.reshape(-1, 1), ("data", "model"))
         self.mesh = mesh
-        self.model = DetectorFreeMatcher(cfg.matcher)
+        if cfg.arch in ("loftr", "loftr_official", "detectorfree"):
+            self.model = DetectorFreeMatcher(cfg.matcher)
+        else:
+            # Alt matcher families train with the same depth-warp focal
+            # objective (they share the dense-conf contract via return_conf)
+            from ..models import build_matcher
+
+            self.model = build_matcher(
+                cfg.arch,
+                match_threshold=cfg.matcher.match_threshold,
+                max_matches=cfg.matcher.max_matches,
+                compute_dtype=cfg.matcher.compute_dtype,
+            )
         self.tx = None
         self._step = None
 
