@@ -225,6 +225,7 @@ def cmd_train(args) -> int:
     state = None
     rng = jax.random.PRNGKey(cfg.seed)
     step = 0
+    max_steps = getattr(args, "max_steps", None)
     for epoch in range(args.epochs):
         ids = sampler.epoch(epoch)
         for start in range(0, len(ids) - args.batch_size + 1, args.batch_size):
@@ -232,16 +233,25 @@ def cmd_train(args) -> int:
             batch = collate([datasets[s][t] for s, t in chunk])
             if state is None:
                 state = trainer.init_state(batch)
+                if getattr(args, "init_ckpt", None):
+                    state = state._replace(params=trainer.load_params(
+                        args.init_ckpt, state.params
+                    ))
             state, loss = trainer.train_step(
                 state, batch, jax.random.fold_in(rng, step)
             )
             step += 1
             if step % args.log_every == 0:
-                print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+                print(f"epoch {epoch} step {step} loss {float(loss):.5f}",
+                      flush=True)
+            if max_steps and step >= max_steps:
+                break
         if state is not None:
             trainer.save_checkpoint(
                 state, os.path.join(args.output, f"ckpt_ep{epoch}.msgpack")
             )
+        if max_steps and step >= max_steps:
+            break
     return 0
 
 
@@ -407,6 +417,9 @@ def main(argv=None) -> int:
     st.add_argument("--log-every", type=int, default=50, dest="log_every")
     st.add_argument("--n-tracks", type=int, default=200, dest="n_tracks")
     st.add_argument("--window", type=int, default=15)
+    st.add_argument("--init-ckpt", default=None, dest="init_ckpt",
+                    help="warm-start from a previous checkpoint")
+    st.add_argument("--max-steps", type=int, default=None, dest="max_steps")
     st.set_defaults(fn=cmd_train)
 
     sm = sub.add_parser("train-matcher", help="train the coarse matcher")

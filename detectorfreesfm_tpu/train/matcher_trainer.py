@@ -154,9 +154,15 @@ class MatcherTrainer:
 
     def load_params(self, path: str, template):
         with open(path, "rb") as f:
-            return serialization.from_bytes(
-                {"params": template, "step": 0}, f.read()
-            )["params"]
+            blob = f.read()
+        # Accept both trainer ckpts ({params, step}) and selfsup bootstrap
+        # ckpts ({params}) so --init-ckpt can warm-start from either.
+        for skeleton in ({"params": template, "step": 0}, {"params": template}):
+            try:
+                return serialization.from_bytes(skeleton, blob)["params"]
+            except (KeyError, ValueError):
+                continue
+        raise ValueError(f"unrecognized checkpoint structure: {path}")
 
 
 def tuple_to_pair_batch(tuples: list) -> dict:

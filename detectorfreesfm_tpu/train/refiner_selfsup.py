@@ -145,8 +145,11 @@ def load_refiner_params(path: str, cfg: Optional[RefinerConfig] = None,
         jnp.ones((n_tracks, n_views), jnp.float32),
         jnp.zeros((n_tracks, n_views), bool),
     )
+    from .selfsup import _from_bytes_any
+
     with open(path, "rb") as f:
-        loaded = serialization.from_bytes({"params": template}, f.read())
+        blob = f.read()
+    loaded = _from_bytes_any(template, blob, path)
     return jax.tree_util.tree_map(
-        lambda t, l: jnp.asarray(l, t.dtype), template, loaded["params"]
+        lambda t, l: jnp.asarray(l, t.dtype), template, loaded
     )

@@ -133,7 +133,18 @@ def load_matcher_params(path: str, img_size: int = 416,
     x0 = jnp.zeros((1, img_size, img_size, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), x0, x0)
     with open(path, "rb") as f:
-        loaded = serialization.from_bytes({"params": template}, f.read())
+        blob = f.read()
+    loaded = _from_bytes_any(template, blob, path)
     return jax.tree_util.tree_map(
-        lambda t, l: jnp.asarray(l, t.dtype), template, loaded["params"]
+        lambda t, l: jnp.asarray(l, t.dtype), template, loaded
     )
+
+
+def _from_bytes_any(template, blob: bytes, path: str):
+    """Restore params from either {params} or {params, step} checkpoints."""
+    for skeleton in ({"params": template}, {"params": template, "step": 0}):
+        try:
+            return serialization.from_bytes(skeleton, blob)["params"]
+        except (KeyError, ValueError):
+            continue
+    raise ValueError(f"unrecognized checkpoint structure: {path}")

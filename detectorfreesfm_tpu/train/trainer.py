@@ -175,10 +175,16 @@ class Trainer:
 
     def load_params(self, path: str, template_params):
         with open(path, "rb") as f:
-            data = serialization.from_bytes(
-                {"params": template_params, "step": 0}, f.read()
-            )
-        return data["params"]
+            blob = f.read()
+        # Accept both trainer ckpts ({params, step}) and bootstrap ckpts
+        # ({params} only) so --init-ckpt warm-starts from either.
+        for skeleton in ({"params": template_params, "step": 0},
+                         {"params": template_params}):
+            try:
+                return serialization.from_bytes(skeleton, blob)["params"]
+            except (KeyError, ValueError):
+                continue
+        raise ValueError(f"unrecognized checkpoint structure: {path}")
 
 
 def epipolar_pose_eval(coords, gt, mask) -> dict:
