@@ -239,13 +239,21 @@ def reconstruct_scene(
         # move into network pixel units together (mixing original-res K with
         # network-res xys silently destroys the geometry in BA), then both
         # scale back afterwards.
+        from concurrent.futures import ThreadPoolExecutor
+
+        ids = list(rec.images)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            loaded = list(pool.map(
+                lambda i: load_gray(
+                    os.path.join(image_dir, rec.images[i].name),
+                    long_side=cfg.img_resize, pad_to=cfg.img_resize,
+                ),
+                ids,
+            ))
         images_by_id = {}
         scales = {}
-        for img_id, im in rec.images.items():
-            li = load_gray(
-                os.path.join(image_dir, im.name),
-                long_side=cfg.img_resize, pad_to=cfg.img_resize,
-            )
+        for img_id, li in zip(ids, loaded):
+            im = rec.images[img_id]
             images_by_id[img_id] = li.data
             scales[img_id] = li.scale
             im.xys = im.xys / li.scale[None, :]
