@@ -41,6 +41,14 @@ class SyntheticConfig:
     focal_range: Tuple[float, float] = (0.9, 1.6)  # x image size
     texture_size: int = 768
     photometric: bool = True    # per-view gain/bias/gamma augmentation
+    # Real-photo texture pool (paths). When set, most plane textures are
+    # random crops of real photographs instead of value noise — the geometry
+    # stays exact/synthetic but local appearance matches real-image
+    # statistics, which is what the matcher's backbone must transfer to.
+    # (Round-2 lesson: noise-textured worlds alone catastrophically shift the
+    # feature distribution and destroy real-image matching.)
+    texture_photos: Tuple[str, ...] = ()
+    photo_texture_prob: float = 0.85
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray, up_jitter: float,
@@ -97,6 +105,53 @@ def _multi_octave_texture(rng, n: int) -> np.ndarray:
     return tex
 
 
+_PHOTO_CACHE: dict = {}
+
+
+def _load_photo_gray(path: str) -> np.ndarray:
+    """Decode a photo to grayscale float [0,1], cached per path."""
+    img = _PHOTO_CACHE.get(path)
+    if img is None:
+        from PIL import Image as PILImage
+
+        img = np.asarray(
+            PILImage.open(path).convert("L"), np.float32
+        ) / 255.0
+        _PHOTO_CACHE[path] = img
+    return img
+
+
+def _photo_texture(rng, n: int, pool: Tuple[str, ...]) -> np.ndarray:
+    """Random crop of a random real photo, resized to (n, n)."""
+    from PIL import Image as PILImage
+
+    img = _load_photo_gray(pool[int(rng.integers(len(pool)))])
+    h, w = img.shape
+    side = int(rng.uniform(0.4, 1.0) * min(h, w))
+    side = max(side, 64)
+    y0 = int(rng.integers(0, max(h - side, 1)))
+    x0 = int(rng.integers(0, max(w - side, 1)))
+    crop = img[y0 : y0 + side, x0 : x0 + side]
+    if rng.random() < 0.5:
+        crop = crop[:, ::-1]
+    out = np.asarray(PILImage.fromarray(
+        (crop * 255).astype(np.uint8)
+    ).resize((n, n), PILImage.BILINEAR), np.float32) / 255.0
+    # keep contrast healthy (some crops are near-uniform sky/wall)
+    rngv = out.max() - out.min()
+    if rngv < 0.15:
+        out = out + 0.3 * _multi_octave_texture(rng, n)
+        out -= out.min()
+        out /= max(out.max(), 1e-6)
+    return out
+
+
+def _make_texture(rng, cfg: SyntheticConfig) -> np.ndarray:
+    if cfg.texture_photos and rng.random() < cfg.photo_texture_prob:
+        return _photo_texture(rng, cfg.texture_size, cfg.texture_photos)
+    return _multi_octave_texture(rng, cfg.texture_size)
+
+
 @dataclasses.dataclass
 class _Plane:
     p0: np.ndarray       # center (3,)
@@ -122,14 +177,14 @@ def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
         half = rng.uniform(1.0, 2.6)
         planes.append(_Plane(
             p0=center, n=n, ax_u=u * half, ax_v=v * half * rng.uniform(0.6, 1.2),
-            tex=_multi_octave_texture(rng, cfg.texture_size),
+            tex=_make_texture(rng, cfg),
         ))
     # Background plane (always hit)
     planes.append(_Plane(
         p0=np.array([0.0, 0.0, cfg.background_depth]),
         n=np.array([0.0, 0.0, -1.0]),
         ax_u=np.array([30.0, 0.0, 0.0]), ax_v=np.array([0.0, 30.0, 0.0]),
-        tex=_multi_octave_texture(rng, cfg.texture_size),
+        tex=_make_texture(rng, cfg),
     ))
     return planes
 

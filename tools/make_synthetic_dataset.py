@@ -32,11 +32,24 @@ def main() -> int:
     ap.add_argument("--tuple-size", type=int, default=4)
     ap.add_argument("--n-tuples", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--texture-dirs", default=None,
+                    help="comma-separated dirs of real photos used as plane"
+                         " textures (real appearance, exact synth geometry)")
     args = ap.parse_args()
+
+    photos = []
+    if args.texture_dirs:
+        import glob
+
+        for d in args.texture_dirs.split(","):
+            for ext in ("*.jpg", "*.JPG", "*.png", "*.jpeg"):
+                photos.extend(sorted(glob.glob(os.path.join(d, ext))))
+        print(f"texture pool: {len(photos)} photos")
 
     cfg = SyntheticConfig(
         size=args.size, n_views=args.views,
         tuple_size=args.tuple_size, n_tuples=args.n_tuples,
+        texture_photos=tuple(photos),
     )
     train_dir = os.path.join(args.out, "train")
     os.makedirs(train_dir, exist_ok=True)
