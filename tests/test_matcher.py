@@ -123,3 +123,16 @@ def test_matcher_jit_and_batch():
     out = fwd(variables, img0, img1)
     assert out.coords0.shape == (2, 32, 2)
     assert np.asarray(out.conf).shape == (2, 32)
+
+
+def test_position_encoding_no_tracer_leak_across_jits():
+    """The PE table cache must not leak one jit trace's constants into the
+    next (regression: second scene of an eval run crashed with
+    UnexpectedTracerError because _pe_table cached a traced jnp constant)."""
+    from detectorfreesfm_tpu.models import position_encoding as PE
+
+    PE._pe_table.cache_clear()
+    x = jnp.ones((1, 16, 16, 8), jnp.float32)
+    out1 = jax.jit(PE.add_position_encoding)(x)  # populates the cache
+    out2 = jax.jit(PE.add_position_encoding)(x)  # fresh trace, cached table
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
