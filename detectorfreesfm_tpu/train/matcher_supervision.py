@@ -47,8 +47,11 @@ def pair_cell_assignment(
         [K0[0, 0], K0[1, 1]]
     )
     Xc0 = jnp.concatenate([xy_n * d0[:, None], d0[:, None]], -1)
-    Xw = (Xc0 - t0) @ R0                                    # R0^T (Xc - t0)
-    Xc1 = Xw @ R1.T + t1
+    # HIGHEST precision: axon's default bf16 MXU pass shifts warped coords
+    # by up to ~5 px at 512-px scale (see train/supervision.py)
+    hp = jax.lax.Precision.HIGHEST
+    Xw = jnp.einsum("lj,jk->lk", Xc0 - t0, R0, precision=hp)
+    Xc1 = jnp.einsum("lj,kj->lk", Xw, R1, precision=hp) + t1
     z1 = Xc1[..., 2]
     ok &= z1 > 1e-6
     z_safe = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
@@ -69,8 +72,8 @@ def pair_cell_assignment(
         [K1[0, 0], K1[1, 1]]
     )
     Xc1b = jnp.concatenate([xy1_n * d1[:, None], d1[:, None]], -1)
-    Xwb = (Xc1b - t1) @ R1
-    Xc0b = Xwb @ R0.T + t0
+    Xwb = jnp.einsum("lj,jk->lk", Xc1b - t1, R1, precision=hp)
+    Xc0b = jnp.einsum("lj,kj->lk", Xwb, R0, precision=hp) + t0
     z0b = jnp.where(jnp.abs(Xc0b[..., 2]) < 1e-9, 1e-9, Xc0b[..., 2])
     uv0b = Xc0b[..., :2] / z0b[..., None] * jnp.array(
         [K0[0, 0], K0[1, 1]]

@@ -63,6 +63,7 @@ class MatcherTrainer:
             )
         self.tx = None
         self._step = None
+        self._sup_fn = None
 
     def init_state(self, sample_batch) -> MatcherTrainState:
         img = jnp.asarray(sample_batch["image0"][:1])
@@ -75,15 +76,33 @@ class MatcherTrainer:
             jnp.zeros((), jnp.int32),
         )
 
-    def _loss_one(self, params, image0, image1, depth0, depth1, K0, K1,
-                  q0, t0, q1, t1):
-        gt = pair_cell_assignment(
-            depth0, depth1, K0, K1, q0, t0, q1, t1, grid=self.cfg.grid
-        )
+    def _loss_one(self, params, image0, image1, gt):
         _, conf = self.model.apply(
             params, image0[None], image1[None], return_conf=True, train=False
         )
         return coarse_focal_loss(conf, gt[None])
+
+    def _supervise(self, batch):
+        """Depth-warp cell labels for a (padded) pair batch, computed on the
+        host CPU backend (the axon TPU pass miscompiles the warp/visibility
+        fusion — see Trainer._supervise — so labels are generated off the
+        accelerator and fed to the step as plain int arrays)."""
+        if self._sup_fn is None:
+            grid = self.cfg.grid
+
+            def gen(d0, d1, K0, K1, q0, t0, q1, t1):
+                return pair_cell_assignment(
+                    d0, d1, K0, K1, q0, t0, q1, t1, grid=grid
+                )
+
+            self._sup_fn = jax.jit(jax.vmap(gen), backend="cpu")
+        with jax.default_device(jax.devices("cpu")[0]):
+            gt = self._sup_fn(*(
+                jnp.asarray(np.asarray(batch[k]))
+                for k in ("depth0", "depth1", "K0", "K1",
+                          "q0", "t0", "q1", "t1")
+            ))
+        return np.asarray(gt)
 
     def make_step(self):
         repl = NamedSharding(self.mesh, P())
@@ -92,12 +111,8 @@ class MatcherTrainer:
         def step_fn(state, batch, live):
             def loss_fn(p):
                 losses = jax.vmap(
-                    lambda a, b, c, d, e, f, g, h, i, j: self._loss_one(
-                        p, a, b, c, d, e, f, g, h, i, j
-                    )
-                )(batch["image0"], batch["image1"], batch["depth0"],
-                  batch["depth1"], batch["K0"], batch["K1"],
-                  batch["q0"], batch["t0"], batch["q1"], batch["t1"])
+                    lambda a, b, g: self._loss_one(p, a, b, g)
+                )(batch["image0"], batch["image1"], batch["gt"])
                 return jnp.sum(losses * live) / jnp.maximum(jnp.sum(live), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -109,13 +124,8 @@ class MatcherTrainer:
             params = optax.apply_updates(state.params, updates)
             return MatcherTrainState(params, opt_state, state.step + 1), loss
 
-        sh = {k: data_sh for k in (
-            "image0", "image1", "depth0", "depth1", "K0", "K1",
-            "q0", "t0", "q1", "t1",
-        )}
         self._step = jax.jit(
             step_fn,
-            in_shardings=(MatcherTrainState(repl, repl, repl), sh, data_sh),
             out_shardings=(MatcherTrainState(repl, repl, repl), repl),
         )
         return self._step
@@ -136,12 +146,17 @@ class MatcherTrainer:
                 return a
             return np.concatenate([a, np.repeat(a[:1], n_pad - n, axis=0)])
 
+        batch = {k: pad(v) for k, v in batch.items()}
+        gt = self._supervise(batch)  # host CPU labels
         data_sh = NamedSharding(self.mesh, P("data"))
-        batch = {k: jax.device_put(jnp.asarray(pad(v)), data_sh)
-                 for k, v in batch.items()}
+        device_batch = {
+            "image0": jax.device_put(jnp.asarray(batch["image0"]), data_sh),
+            "image1": jax.device_put(jnp.asarray(batch["image1"]), data_sh),
+            "gt": jax.device_put(jnp.asarray(gt), data_sh),
+        }
         live = jax.device_put(jnp.asarray(live), data_sh)
         with self.mesh:
-            return self._step(state, batch, live)
+            return self._step(state, device_batch, live)
 
     def save_checkpoint(self, state, path: str):
         import os

@@ -98,10 +98,16 @@ def generate_tracks(
         [K0[0, 0], K0[1, 1]]
     )
     X_cam0 = jnp.concatenate([xy_n * d0[:, None], d0[:, None]], -1)
-    X_w = (X_cam0 - tvec[0]) @ R[0]                         # R0^T (Xc - t0)
+    # All warp matmuls pin HIGHEST precision: the axon TPU runs f32 MXU ops
+    # in bf16 passes by default, which shifts warped coords by several px
+    # and silently fails every 3-px cycle check (loss == 0 exactly).
+    hp = jax.lax.Precision.HIGHEST
+    X_w = jnp.einsum("gj,jk->gk", X_cam0 - tvec[0], R[0],
+                     precision=hp)                      # R0^T (Xc - t0)
 
     # Warp into every view
-    Xc = jnp.einsum("vij,gj->vgi", R, X_w) + tvec[:, None, :]   # (V, G, 3)
+    Xc = jnp.einsum("vij,gj->vgi", R, X_w,
+                precision=hp) + tvec[:, None, :]        # (V, G, 3)
     z = Xc[..., 2]
     z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     uv = Xc[..., :2] / z_safe[..., None]
@@ -126,8 +132,9 @@ def generate_tracks(
     Xc_src = jnp.concatenate(
         [xy_src * d_sampled[..., None], d_sampled[..., None]], -1
     )
-    X_w2 = jnp.einsum("vij,vgj->vgi", Rt, Xc_src - tvec[:, None, :])
-    Xc0 = jnp.einsum("ij,vgj->vgi", R[0], X_w2) + tvec[0]
+    X_w2 = jnp.einsum("vij,vgj->vgi", Rt, Xc_src - tvec[:, None, :],
+                  precision=hp)
+    Xc0 = jnp.einsum("ij,vgj->vgi", R[0], X_w2, precision=hp) + tvec[0]
     z0b = jnp.where(jnp.abs(Xc0[..., 2]) < 1e-9, 1e-9, Xc0[..., 2])
     px0 = Xc0[..., :2] / z0b[..., None] * jnp.array(
         [K0[0, 0], K0[1, 1]]

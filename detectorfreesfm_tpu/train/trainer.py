@@ -58,6 +58,7 @@ class Trainer:
         self.model = MultiviewRefiner(cfg.refiner)
         self.tx = None
         self._train_step = None
+        self._sup_fn = None
 
     # -- setup -----------------------------------------------------------------
 
@@ -85,14 +86,8 @@ class Trainer:
 
     # -- the step ----------------------------------------------------------------
 
-    def _loss_one(self, params, images, depths, K, qvec, tvec, rng):
-        """Loss for ONE image tuple (images (V, H, W, 1))."""
-        cfg = self.cfg
-        spv = generate_tracks(
-            depths, K, qvec, tvec, rng,
-            grid_step=cfg.grid_step, n_tracks=cfg.n_tracks,
-            visibility_tolerance=cfg.visibility_tolerance,
-        )
+    def _loss_one(self, params, images, spv):
+        """Loss for ONE image tuple (images (V, H, W, 1), spv precomputed)."""
         out = self.model.apply(
             params, images, spv.node_img, spv.node_xy,
             spv.node_scale, spv.node_mask,
@@ -103,17 +98,45 @@ class Trainer:
             out.coords[:, 1:], spv.gt_xy[:, 1:], out.std[:, 1:], mask
         )
 
+    def _supervise(self, batch, rng):
+        """Generate depth-warp labels for a (padded) batch ON THE HOST CPU
+        backend and return them as a batched SupervisionBatch.
+
+        The axon TPU pass miscompiles the warp/visibility fusion (a bounded
+        Xc_src acquires an all-inf channel, every cycle check fails, and the
+        masked loss silently evaluates to exactly 0), so labels never touch
+        the accelerator compiler: same jnp code, jitted for the CPU backend,
+        shipped to the device as plain batch arrays."""
+        cfg = self.cfg
+        if self._sup_fn is None:
+            def gen(d, K, q, t, r):
+                return generate_tracks(
+                    d, K, q, t, r,
+                    grid_step=cfg.grid_step, n_tracks=cfg.n_tracks,
+                    visibility_tolerance=cfg.visibility_tolerance,
+                )
+
+            self._sup_fn = jax.jit(jax.vmap(gen), backend="cpu")
+        b = batch["depths"].shape[0]
+        with jax.default_device(jax.devices("cpu")[0]):
+            rngs = jax.random.split(jnp.asarray(np.asarray(rng)), b)
+            spv = self._sup_fn(
+                jnp.asarray(np.asarray(batch["depths"])),
+                jnp.asarray(np.asarray(batch["K"])),
+                jnp.asarray(np.asarray(batch["qvec"])),
+                jnp.asarray(np.asarray(batch["tvec"])), rngs,
+            )
+        return jax.tree_util.tree_map(np.asarray, spv)
+
     def make_train_step(self):
         repl = NamedSharding(self.mesh, P())
         data_sh = NamedSharding(self.mesh, P("data"))
 
-        def step_fn(state: TrainState, batch, live, rng):
+        def step_fn(state: TrainState, batch, live):
             def loss_fn(p):
-                rngs = jax.random.split(rng, batch["images"].shape[0])
                 losses = jax.vmap(
-                    lambda im, d, k, q, t, r: self._loss_one(p, im, d, k, q, t, r)
-                )(batch["images"], batch["depths"], batch["K"],
-                  batch["qvec"], batch["tvec"], rngs)
+                    lambda im, s: self._loss_one(p, im, s)
+                )(batch["images"], batch["spv"])
                 # `live` masks batch-padding rows (batch padded to a device
                 # multiple so any per-host batch size shards over the mesh)
                 return jnp.sum(losses * live) / jnp.maximum(jnp.sum(live), 1.0)
@@ -127,13 +150,8 @@ class Trainer:
             )
             return TrainState(params, opt_state, state.step + 1), loss
 
-        batch_sh = {
-            "images": data_sh, "depths": data_sh, "K": data_sh,
-            "qvec": data_sh, "tvec": data_sh,
-        }
         self._train_step = jax.jit(
             step_fn,
-            in_shardings=(TrainState(repl, repl, repl), batch_sh, data_sh, repl),
             out_shardings=(TrainState(repl, repl, repl), repl),
         )
         return self._train_step
@@ -155,14 +173,18 @@ class Trainer:
             reps = np.repeat(a[:1], n_pad - n, axis=0)
             return np.concatenate([a, reps])
 
+        batch = {k: pad(v) for k, v in batch.items()}
+        spv = self._supervise(batch, rng)  # host CPU, see _supervise
         data_sh = NamedSharding(self.mesh, P("data"))
-        batch = {
-            k: jax.device_put(jnp.asarray(pad(v)), data_sh)
-            for k, v in batch.items()
+        device_batch = {
+            "images": jax.device_put(jnp.asarray(batch["images"]), data_sh),
+            "spv": jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), data_sh), spv
+            ),
         }
         live = jax.device_put(jnp.asarray(live), data_sh)
         with self.mesh:
-            return self._train_step(state, batch, live, rng)
+            return self._train_step(state, device_batch, live)
 
     # -- checkpointing -------------------------------------------------------------
 
