@@ -108,20 +108,43 @@ def estimate_absolute_pose(
     _, idx = jax.lax.top_k(scores, 6)
     R_h, t_h = _dlt_pose(X[idx], x[idx], jnp.ones(idx.shape, X.dtype))
     err = _reproj_err2(R_h, t_h, X[None], x[None])
-    inl = (err < threshold**2) & mask[None, :]
-    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
-    best = jnp.argmax(counts)
 
-    # Polish on the best hypothesis' inliers, then refresh the inlier set
-    w_best = inl[best].astype(X.dtype)
-    R0, t0 = R_h[best], t_h[best]
-    R_ref, t_ref = _gauss_newton_pose(R0, t0, X, x, w_best)
-    err_ref = _reproj_err2(R_ref, t_ref, X, x)
-    inl_ref = (err_ref < threshold**2) & mask
-    use_ref = jnp.sum(inl_ref) >= counts[best]
-    R_fin = jnp.where(use_ref, R_ref, R0)
-    t_fin = jnp.where(use_ref, t_ref, t0)
-    inliers = jnp.where(use_ref, inl_ref, inl[best])
+    # LO-RANSAC-style annealed local optimization (COLMAP pairs its P3P
+    # hypotheses with local optimization; a 6-pt DLT hypothesis from
+    # grid-quantized detector-free correspondences is noisy enough that the
+    # raw max-consensus at the final threshold is often near-empty even when
+    # a consistent pose exists). Hypotheses are scored at 3x the threshold,
+    # the best is Gauss-Newton-polished on that wide consensus, then the
+    # polish-and-recount repeats at 1.5x and 1x. Each round can only keep or
+    # grow the final-threshold count vs the raw-best hypothesis.
+    inl_wide = (err < (3.0 * threshold) ** 2) & mask[None, :]
+    counts_wide = jnp.sum(inl_wide.astype(jnp.int32), axis=1)
+    best = jnp.argmax(counts_wide)
+    R_cur, t_cur = R_h[best], t_h[best]
+
+    for factor in (3.0, 1.5, 1.0):
+        err_cur = _reproj_err2(R_cur, t_cur, X, x)
+        w = ((err_cur < (factor * threshold) ** 2) & mask).astype(X.dtype)
+        R_try, t_try = _gauss_newton_pose(R_cur, t_cur, X, x, w)
+        # Keep the polish only if it does not lose final-threshold inliers
+        n_cur = jnp.sum((_reproj_err2(R_cur, t_cur, X, x) < threshold**2)
+                        & mask)
+        n_try = jnp.sum((_reproj_err2(R_try, t_try, X, x) < threshold**2)
+                        & mask)
+        keep = n_try >= n_cur
+        R_cur = jnp.where(keep, R_try, R_cur)
+        t_cur = jnp.where(keep, t_try, t_cur)
+
+    # Also compare against the best raw hypothesis at the final threshold
+    inl_raw = (err < threshold**2) & mask[None, :]
+    counts_raw = jnp.sum(inl_raw.astype(jnp.int32), axis=1)
+    best_raw = jnp.argmax(counts_raw)
+    err_lo = _reproj_err2(R_cur, t_cur, X, x)
+    inl_lo = (err_lo < threshold**2) & mask
+    use_lo = jnp.sum(inl_lo) >= counts_raw[best_raw]
+    R_fin = jnp.where(use_lo, R_cur, R_h[best_raw])
+    t_fin = jnp.where(use_lo, t_cur, t_h[best_raw])
+    inliers = jnp.where(use_lo, inl_lo, inl_raw[best_raw])
     return PnPResult(
         qvec=rotmat_to_quat(R_fin),
         tvec=t_fin,
