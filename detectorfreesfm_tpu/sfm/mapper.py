@@ -59,6 +59,11 @@ class MapperConfig:
     focal_search_factors: tuple = (0.6, 1.0, 1.6)
     ba_global_images_ratio: float = 1.3  # global BA when model grew by this
     max_init_trials: int = 5
+    # Init retry (COLMAP init_num_trials): grow the model from up to this
+    # many ranked seeds, stopping early once init_retry_target of the images
+    # registered; the best-growing attempt wins.
+    init_retry_attempts: int = 3
+    init_retry_target: float = 0.9
     ransac_hypotheses: int = 512
     seed: int = 0
 
@@ -667,7 +672,7 @@ class IncrementalMapper:
         # seed (short baseline: most tracks fail the init triangulation-angle
         # check), and a starved init cascades into failed registrations.
         ranked = sorted(verified.items(), key=lambda kv: -kv[1]["n_inliers"])
-        best_init = None  # (n_tri, (ia, ib), tri, qvec, tvec)
+        init_cands = []  # (n_tri, (ia, ib), tri, qvec, tvec)
         for (ia, ib), v in ranked[: cfg.max_init_trials]:
             qv, tv, _ni = self._twoview_pose(
                 rec, ia, ib, v["matches"], cfg.init_max_error,
@@ -681,16 +686,83 @@ class IncrementalMapper:
             tri = self._triangulate_tracks(
                 rec, tracks, tids, cfg.init_min_tri_angle_deg, cfg.init_max_error
             )
-            if best_init is None or len(tri) > best_init[0]:
-                best_init = (len(tri), (ia, ib), tri, qv, tv)
+            init_cands.append((len(tri), (ia, ib), tri, qv, tv))
             rec.images[ia].qvec = None
             rec.images[ia].tvec = None
             rec.images[ib].qvec = None
             rec.images[ib].tvec = None
+        init_cands.sort(key=lambda c: -c[0])
         min_init_pts = 30 if len(ranked) > 1 else 8
-        if best_init is None or best_init[0] < min_init_pts:
+        candidates = [c for c in init_cands if c[0] >= min_init_pts]
+        if not candidates:
             return None
-        _n, init_pair, tri, qv, tv = best_init
+
+        # COLMAP-parity init retry (IncrementalMapper init_num_trials): a
+        # seed that triangulates well can still fail to grow (near-planar or
+        # low-parallax pair — the cloud fits two views but no third). Grow
+        # the model from up to init_retry_attempts seeds and keep the best;
+        # cameras/points/track state restore between attempts.
+        cam_snapshot = {
+            cid: cam.params.copy() for cid, cam in rec.cameras.items()
+        }
+        n_img = len(rec.images)
+        max_attempts = min(len(candidates), max(1, cfg.init_retry_attempts))
+        best = None  # (n_registered, model snapshot)
+        for attempt in range(max_attempts):
+            _n, init_pair, tri, qv, tv = candidates[attempt]
+            self._grow_from_init(rec, init_pair, tri, qv, tv, verbose=verbose)
+            n_reg = len(rec.registered_images)
+            if best is None or n_reg > best[0]:
+                best = (n_reg, self._model_snapshot(rec))
+            if n_reg >= max(3, cfg.init_retry_target * n_img):
+                break
+            if attempt + 1 < max_attempts:
+                if verbose:
+                    print(f"init pair {init_pair} grew to only "
+                          f"{n_reg}/{n_img} images; retrying with next seed")
+                for im in rec.images.values():
+                    im.qvec = None
+                    im.tvec = None
+                    im.point3D_ids[:] = -1
+                rec.points = {}
+                self.track_pid[:] = -1
+                for cid, params in cam_snapshot.items():
+                    rec.cameras[cid].params = params.copy()
+        if best[0] > len(rec.registered_images):
+            self._restore_snapshot(rec, best[1])
+        if len(rec.registered_images) < cfg.min_model_size:
+            return None
+        return rec
+
+    def _model_snapshot(self, rec: Reconstruction):
+        return (
+            {i: (None if im.qvec is None else im.qvec.copy(),
+                 None if im.tvec is None else im.tvec.copy(),
+                 im.point3D_ids.copy())
+             for i, im in rec.images.items()},
+            {p: {"xyz": pt["xyz"].copy(), "rgb": pt["rgb"],
+                 "error": pt["error"], "track": list(pt["track"])}
+             for p, pt in rec.points.items()},
+            {cid: cam.params.copy() for cid, cam in rec.cameras.items()},
+            self.track_pid.copy(),
+        )
+
+    def _restore_snapshot(self, rec: Reconstruction, snap):
+        img_s, pts_s, cam_s, tp = snap
+        for i, (q, t, pids) in img_s.items():
+            im = rec.images[i]
+            im.qvec, im.tvec, im.point3D_ids = q, t, pids
+        rec.points = pts_s
+        for cid, params in cam_s.items():
+            rec.cameras[cid].params = params
+        self.track_pid = tp
+
+    def _grow_from_init(
+        self, rec: Reconstruction, init_pair, tri, qv, tv, verbose=False,
+    ) -> Reconstruction:
+        """Commit one init pair and grow the model by incremental
+        registration + retriangulation + BA/filter fixpoint."""
+        cfg = self.cfg
         ia, ib = init_pair
         rec.set_pose(ia, np.array([1.0, 0, 0, 0]), np.zeros(3))
         rec.set_pose(ib, qv, tv)
@@ -781,8 +853,6 @@ class IncrementalMapper:
                     self._complete_image(rec, img_id)
             if not registered_any:
                 break
-        if len(rec.registered_images) < cfg.min_model_size:
-            return None
         return rec
 
     def _triangulate_pending(self, rec: Reconstruction):
