@@ -376,7 +376,55 @@ class IncrementalMapper:
                 UV[r, v] = rec.images[img_id].xys[kpt]
                 M[r, v] = True
                 R_arr[r, v], t_arr[r, v], C_arr[r, v], K_arr[r, v] = R, t, C, K
-        X, ok = triangulate_dlt(jnp.asarray(P), jnp.asarray(UV), jnp.asarray(M))
+        # --- COLMAP-parity robust triangulation (EstimateTriangulation):
+        # hypothesize X from every view PAIR, score by consensus over all
+        # observations, then DLT-refit on the best pair's inliers. The
+        # union-find track builder fuses every match-connected keypoint, so a
+        # single bad match chains two physical points into one track; an
+        # all-observation DLT then lands between the clusters and the whole
+        # track dies. Pair hypotheses recover the dominant cluster instead.
+        live0 = M[:n]
+        if V >= 3:
+            pairs = [(a, b) for a in range(V) for b in range(a + 1, V)]
+            pv = np.array([p[0] for p in pairs])
+            pw = np.array([p[1] for p in pairs])
+            # rows: for each obs o: [u*P2 - P0; v*P2 - P1]
+            rowsA = UV[:n, :, 0:1] * P[:n, :, 2] - P[:n, :, 0]  # (n, V, 4)
+            rowsB = UV[:n, :, 1:2] * P[:n, :, 2] - P[:n, :, 1]
+            A = np.stack([rowsA[:, pv], rowsB[:, pv],
+                          rowsA[:, pw], rowsB[:, pw]], axis=2)  # (n, P2, 4, 4)
+            AtA = np.einsum("npij,npik->npjk", A, A)
+            _w, vecs = np.linalg.eigh(AtA)
+            Xh = vecs[..., :, 0]                                 # (n, P2, 4)
+            wc = Xh[..., 3:4]
+            wc = np.where(np.abs(wc) < 1e-12, 1e-12, wc)
+            Xp = Xh[..., :3] / wc                                # (n, P2, 3)
+            pair_valid = live0[:, pv] & live0[:, pw]
+            # consensus of each hypothesis over all observations
+            Xc_p = (np.einsum("nvij,npj->npvi", R_arr, Xp)
+                    + t_arr[:, None, :, :])                      # (n,P2,V,3)
+            z_p = Xc_p[..., 2]
+            zs = np.where(np.abs(z_p) < 1e-9, 1e-9, z_p)
+            uv_p = np.einsum(
+                "nvij,npvj->npvi", K_arr, Xc_p / zs[..., None]
+            )[..., :2]
+            err_p = np.linalg.norm(uv_p - UV[:n, None], axis=-1)
+            inl_p = (live0[:, None, :] & (z_p > 1e-6)
+                     & (err_p <= max_error) & pair_valid[..., None])
+            counts = inl_p.sum(-1)                               # (n, P2)
+            best_p = counts.argmax(1)
+            rows = np.arange(n)
+            g_best = inl_p[rows, best_p]                         # (n, V)
+            # DLT refit restricted to the winning consensus (>=2 views)
+            M_fit = M.copy()
+            M_fit[:n] = g_best & live0
+            few = M_fit[:n].sum(1) < 2
+            M_fit[:n][few] = live0[few]
+        else:
+            M_fit = M
+        X, ok = triangulate_dlt(
+            jnp.asarray(P), jnp.asarray(UV), jnp.asarray(M_fit)
+        )
         X = np.asarray(X[:n], np.float64)
         ok = np.asarray(ok[:n]) & np.all(np.isfinite(X), axis=1)
 
@@ -730,6 +778,13 @@ class IncrementalMapper:
                     rec.cameras[cid].params = params.copy()
         if best[0] > len(rec.registered_images):
             self._restore_snapshot(rec, best[1])
+            # The restored model was grown in an earlier attempt; images that
+            # failed THEN can succeed NOW against its matured geometry (a
+            # later attempt may have consumed the remaining retries). One
+            # more BA/retriangulate/register fixpoint on the winner.
+            reg = rec.registered_images
+            if len(reg) >= 2:
+                self._registration_fixpoint(rec, set(reg[:2]), verbose)
         if len(rec.registered_images) < cfg.min_model_size:
             return None
         return rec
@@ -818,11 +873,17 @@ class IncrementalMapper:
             if not progress:
                 break
 
+        self._registration_fixpoint(rec, set(init_pair), verbose)
+        return rec
+
+    def _registration_fixpoint(self, rec: Reconstruction, fixed_ids: set,
+                               verbose: bool = False):
         # Fixpoint: a global BA + filter cleans the model enough that
         # previously-failed registrations (inlier-ratio rejections against a
         # dirty point set) can succeed — keep alternating until no progress.
+        cfg = self.cfg
         for _ in range(len(rec.images)):
-            self.global_ba(rec, fixed_ids=set(init_pair))
+            self.global_ba(rec, fixed_ids=fixed_ids)
             self.filter_points(
                 rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg
             )
