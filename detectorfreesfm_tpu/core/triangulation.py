@@ -22,6 +22,10 @@ def projection_matrices(qvec: jax.Array, tvec: jax.Array, K: jax.Array) -> jax.A
     return K @ Rt
 
 
+from .precision import with_highest_matmul_precision
+
+
+@with_highest_matmul_precision
 def triangulate_dlt(
     P: jax.Array, uv: jax.Array, mask: jax.Array | None = None, eps: float = 1e-12
 ):

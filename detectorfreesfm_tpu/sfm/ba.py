@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
+from ..core.precision import with_highest_matmul_precision
 
 CAM_DOF = 7  # 3 rot + 3 trans + 1 log-focal
 
@@ -137,7 +138,9 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     return rw, Aw, Bw, w
 
 
+
 @functools.partial(jax.jit, static_argnames=("huber_delta",))
+@with_highest_matmul_precision
 def ba_cost(prob: BAProblem, huber_delta: float = 2.0) -> jax.Array:
     """Total robust cost (Huber rho of pixel residuals) over live obs."""
     R0 = prob.cam_R[prob.obs_cam]
@@ -152,6 +155,7 @@ def ba_cost(prob: BAProblem, huber_delta: float = 2.0) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("huber_delta",))
+@with_highest_matmul_precision
 def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     """One damped Schur LM solve. Returns proposed (cam_R, cam_t, intr,
     points) — acceptance is decided by the host loop via ba_cost."""
@@ -245,6 +249,7 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
 
 
 @functools.partial(jax.jit, static_argnames=("huber_delta", "cg_iters"))
+@with_highest_matmul_precision
 def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
                 cg_iters: int = 100):
     """One damped LM step solving the camera Schur system with MATRIX-FREE

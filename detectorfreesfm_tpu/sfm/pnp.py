@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
+from ..core.precision import with_highest_matmul_precision
 
 
 class PnPResult(NamedTuple):
@@ -93,7 +94,9 @@ def _gauss_newton_pose(R, t, X, x, w, iters: int = 10):
     return so3_exp(params[:3]) @ R, t + params[3:]
 
 
+
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_absolute_pose(
     X: jax.Array,       # (N, 3) world points (padded)
     x: jax.Array,       # (N, 2) normalized image coords
@@ -154,6 +157,7 @@ def estimate_absolute_pose(
 
 
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_absolute_pose_batch(
     X: jax.Array,           # (B, N, 3)
     x: jax.Array,           # (B, N, 2)

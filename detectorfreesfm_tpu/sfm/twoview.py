@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import rotmat_to_quat
+from ..core.precision import with_highest_matmul_precision
 
 
 class TwoViewResult(NamedTuple):
@@ -158,7 +159,9 @@ def homography_error(H: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
     return jnp.sum((pred - x1) ** 2, axis=-1)
 
 
+
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_homography(
     x0: jax.Array,      # (N, 2) normalized coords
     x1: jax.Array,
@@ -197,6 +200,7 @@ def estimate_homography(
 
 
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_homography_batch(
     x0: jax.Array, x1: jax.Array, mask: jax.Array, rngs: jax.Array,
     thresholds: jax.Array, n_hypotheses: int = 256,
@@ -268,6 +272,7 @@ def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_relative_pose_batch(
     x0: jax.Array,          # (B, N, 2)
     x1: jax.Array,          # (B, N, 2)
@@ -288,6 +293,7 @@ def estimate_relative_pose_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@with_highest_matmul_precision
 def estimate_relative_pose(
     x0: jax.Array,      # (N, 2) normalized coords in view0 (padded)
     x1: jax.Array,      # (N, 2) normalized coords in view1
