@@ -58,7 +58,7 @@ class RefineConfig:
     # Relaxed re-registration thresholds (reference reregistration.py:35-46 +
     # hydra_configs/*/dfsfm.yaml `reregistration:`— a separate, looser config
     # than the mapper's so refinement-dropped images can come back)
-    rereg_abs_pose_max_error: float = 12.0
+    rereg_abs_pose_max_error: float = 20.0  # reference reregistration.py:37
     rereg_min_num_inliers: int = 15
     rereg_min_inlier_ratio: float = 0.1
     compute_dtype: str = "float32"

@@ -914,6 +914,28 @@ class IncrementalMapper:
                     self._complete_image(rec, img_id)
             if not registered_any:
                 break
+        # Relaxed second chance (reference reregistration.py:16-46 runs a
+        # separate looser-threshold registration config; 20/12 is its
+        # abs_pose_max_error ratio). Wrong poses admitted here are caught by
+        # the BA + filter of the following fixpoint round or refinement.
+        relaxed_any = False
+        for img_id in sorted(rec.images):
+            if rec.images[img_id].registered:
+                continue
+            if self._try_register(
+                rec, img_id,
+                abs_pose_max_error=cfg.abs_pose_max_error * (20.0 / 12.0),
+            ):
+                relaxed_any = True
+                if verbose:
+                    print(f"relaxed-registered image {img_id}")
+                self._triangulate_pending(rec)
+                self._complete_image(rec, img_id)
+        if relaxed_any:
+            self.global_ba(rec, fixed_ids=fixed_ids)
+            self.filter_points(
+                rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg
+            )
         return rec
 
     def _triangulate_pending(self, rec: Reconstruction):
