@@ -49,6 +49,9 @@ class SyntheticConfig:
     # feature distribution and destroy real-image matching.)
     texture_photos: Tuple[str, ...] = ()
     photo_texture_prob: float = 0.85
+    background_half: float = 30.0  # background-plane half extent (world units)
+                                   # — shrink for planar scenes so the texture
+                                   # resolution matches the rendered view
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray, up_jitter: float,
@@ -183,7 +186,8 @@ def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
     planes.append(_Plane(
         p0=np.array([0.0, 0.0, cfg.background_depth]),
         n=np.array([0.0, 0.0, -1.0]),
-        ax_u=np.array([30.0, 0.0, 0.0]), ax_v=np.array([0.0, 30.0, 0.0]),
+        ax_u=np.array([cfg.background_half, 0.0, 0.0]),
+        ax_v=np.array([0.0, cfg.background_half, 0.0]),
         tex=_make_texture(rng, cfg),
     ))
     return planes

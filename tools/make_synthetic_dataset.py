@@ -11,6 +11,7 @@ Usage:
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -35,6 +36,11 @@ def main() -> int:
     ap.add_argument("--texture-dirs", default=None,
                     help="comma-separated dirs of real photos used as plane"
                          " textures (real appearance, exact synth geometry)")
+    ap.add_argument("--planar-frac", type=float, default=0.0,
+                    help="fraction of train scenes rendered as a single"
+                         " photo-textured plane (homography-class pairs —"
+                         " the self-supervised objective expressed as posed"
+                         " RGBD, so one trainer consumes both)")
     args = ap.parse_args()
 
     photos = []
@@ -51,13 +57,25 @@ def main() -> int:
         tuple_size=args.tuple_size, n_tuples=args.n_tuples,
         texture_photos=tuple(photos),
     )
+    # Planar scenes: one fronto-ish photo plane close to the cameras, small
+    # baseline, high-res texture — the induced inter-view warp is a pure
+    # homography with exact depth, i.e. homography self-supervision on real
+    # appearance through the same depth-warp objective.
+    planar_cfg = dataclasses.replace(
+        cfg, n_planes=0, background_depth=6.0, depth_range=(5.0, 7.0),
+        baseline=1.3, texture_size=1536, photo_texture_prob=1.0,
+        background_half=7.0,
+    )
+    n_planar = int(round(args.n_scenes * args.planar_frac))
     train_dir = os.path.join(args.out, "train")
     os.makedirs(train_dir, exist_ok=True)
     for i in range(args.n_scenes):
         t0 = time.time()
-        p = write_scene(train_dir, f"scene_{i:04d}", args.seed + i, cfg)
-        print(f"[{i + 1}/{args.n_scenes}] {p} ({time.time() - t0:.1f}s)",
-              flush=True)
+        c = planar_cfg if i < n_planar else cfg
+        p = write_scene(train_dir, f"scene_{i:04d}", args.seed + i, c)
+        kind = "planar" if i < n_planar else "multi"
+        print(f"[{i + 1}/{args.n_scenes}] {p} ({kind}, "
+              f"{time.time() - t0:.1f}s)", flush=True)
     for i in range(args.n_eval_scenes):
         d = os.path.join(args.out, "eval", f"scene_{i:04d}")
         write_scene_eval_layout(d, args.seed + 10_000 + i, cfg)
