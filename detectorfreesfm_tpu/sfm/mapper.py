@@ -496,7 +496,12 @@ class IncrementalMapper:
         # (COLMAP refines the focal inside absolute-pose estimation for
         # uncalibrated images; the verification-time vote is a coarse prior
         # and phototourism focals vary severalfold around it)
-        factors = ((0.5, 0.7, 1.0, 1.4, 2.0)
+        # Dense grid: the consensus is sharply peaked in focal (observed: an
+        # image with 47 inliers at factor 1.2 showed only 4 at 1.0 and 10 at
+        # 1.4), so a sparse grid silently loses registrable images. All
+        # factors run as ONE vmapped RANSAC program — extra factors are
+        # nearly free on the accelerator.
+        factors = ((0.4, 0.55, 0.7, 0.85, 1.0, 1.2, 1.45, 1.75, 2.1, 2.6)
                    if (hasattr(self, "unknown_K") and img_id in self.unknown_K)
                    else (1.0,))
         nf = len(factors)
@@ -517,7 +522,9 @@ class IncrementalMapper:
         res = estimate_absolute_pose_batch(
             jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(maskb),
             rngs, jnp.asarray(thr),
-            n_hypotheses=max(64, cfg.ransac_hypotheses // 2),
+            # Full hypothesis budget: marginal registrations (<=20% inlier
+            # ratio at the right focal) are exactly where halving hurts
+            n_hypotheses=max(256, cfg.ransac_hypotheses),
         )
         counts = np.asarray(res.n_inliers)
         best = int(np.argmax(counts))
