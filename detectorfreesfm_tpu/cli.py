@@ -73,10 +73,22 @@ def _run_scene(args) -> dict:
     poses = _match_gt_names(poses, names)
     intrins = _match_gt_names(intrins, names)
 
+    from .refine.loop import RefineConfig
+
+    refine_kw = {}
+    if getattr(args, "refine_windows", None):
+        refine_kw["windows"] = tuple(
+            int(w) for w in args.refine_windows.split(","))
+    if getattr(args, "refine_thresholds", None):
+        refine_kw["filter_thresholds"] = tuple(
+            float(t) for t in args.refine_thresholds.split(","))
+    if getattr(args, "reregister_every", None):
+        refine_kw["reregister_every"] = args.reregister_every
     cfg = PipelineConfig(
         img_resize=args.img_resize,
         match_threshold=args.match_threshold,
         n_refine_iters=args.refine_iters,
+        refine=RefineConfig(**refine_kw),
         triangulation_mode=args.triangulation,
         pair_mode=args.pair_mode,
         n_images=args.n_images,
@@ -91,6 +103,7 @@ def _run_scene(args) -> dict:
             refine_focal=(intrins is None) and not args.known_intrinsics,
             min_model_size=args.min_model_size,
             abs_pose_min_num_inliers=args.min_inliers,
+            min_tri_angle_deg=args.min_tri_angle,
         ),
     )
 
@@ -367,6 +380,16 @@ def main(argv=None) -> int:
         sp.add_argument("--match-threshold", type=float, default=0.2,
                         dest="match_threshold")
         sp.add_argument("--refine-iters", type=int, default=2, dest="refine_iters")
+        sp.add_argument("--refine-windows", default=None, dest="refine_windows",
+                        help="comma list of per-iteration attention windows,"
+                             " e.g. 15,11,7,7")
+        sp.add_argument("--refine-thresholds", default=None,
+                        dest="refine_thresholds",
+                        help="comma list of per-iteration filter thresholds"
+                             " (px), e.g. 6,4,3,2.5")
+        sp.add_argument("--reregister-every", type=int, default=None,
+                        dest="reregister_every",
+                        help="attempt re-registration every N refine iters")
         sp.add_argument("--triangulation", action="store_true")
         sp.add_argument("--pair-mode", default="exhaustive", dest="pair_mode",
                         choices=["exhaustive", "sequential"])
@@ -387,6 +410,11 @@ def main(argv=None) -> int:
                         dest="min_inliers",
                         help="PnP registration inlier floor (reference"
                              " abs_pose_min_num_inliers)")
+        sp.add_argument("--min-tri-angle", type=float, default=1.5,
+                        dest="min_tri_angle",
+                        help="point filter triangulation-angle floor in"
+                             " degrees (COLMAP Mapper.filter_min_tri_angle;"
+                             " lower to 1.0 on small wide-baseline scenes)")
 
     sr = sub.add_parser("reconstruct", help="reconstruct one scene")
     sr.add_argument("--images", default=None, help="image directory")

@@ -54,6 +54,46 @@ def test_demo_scene_reconstructs_from_cached_matches():
     assert float(np.mean(errs)) < 8.0, float(np.mean(errs))
 
 
+DATA_832 = os.path.join(os.path.dirname(__file__), "data", "demo_cached_832")
+
+
+def test_demo_scene_832_reconstructs_fully():
+    """Round-2 golden: the 832 px match cache (depth-warp-trained matcher,
+    `weights/demo_matcher_r2_bf16.msgpack`) registers ALL 8 images.
+
+    Pins the dense focal-grid uncalibrated registration (sfm/mapper.py) and
+    the relaxed second-chance pass against real wide-baseline data. Observed:
+    8/8, 1376 points, 2.76 px mean reprojection (coarse only; the full
+    pipeline with refinement lands at 1.26 px).
+
+    Runs in a SINGLE-device CPU subprocess: mesh-sharded verification pads
+    pair batches by device count, which perturbs RANSAC sampling enough to
+    land this borderline scene at 7/8 under the suite's 8-virtual-device
+    platform. Production runs are 1 device per process; pin that."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": repo,           # drop the axon sitecustomize dir
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "",              # 1 device, not the suite's 8
+    })
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "run_demo832.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["registered"] == 8, res
+    assert res["points"] >= 1000, res
+    assert res["mean_reproj"] < 5.0, res
+
+
 import pytest
 
 REF_IMAGES = "/root/reference/SfM_dataset/example_dataset/example_scene/images"
