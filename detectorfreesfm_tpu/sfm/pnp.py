@@ -1,15 +1,22 @@
-"""Absolute pose (PnP) via batched DLT RANSAC + Gauss-Newton polish.
+"""Absolute pose (PnP) via batched P3P + DLT RANSAC + Gauss-Newton polish.
 
 Replaces COLMAP's P3P/EPnP RANSAC absolute-pose registration (reference
 mapper thresholds `abs_pose_max_error`, hydra_configs/eth3d_sfm/dfsfm.yaml:105).
 TPU-first shape discipline as in twoview.py: fixed hypothesis count, padded
 correspondence arrays, no data-dependent control flow.
 
-Minimal sample is 6 (DLT) rather than 3 (P3P): quartic root-finding doesn't
-map to TPU-friendly batched linear algebra, while the 12x12 DLT normal
-eigendecomposition does; detector-free SfM feeds PnP hundreds-to-thousands of
-verified 2D-3D correspondences with high inlier ratios, where the larger
-sample costs a negligible number of extra hypotheses.
+Hypotheses come from BOTH minimal families, scored in one consensus pass:
+
+* P3P (Grunert): the 3-point minimal solver COLMAP registers with. The
+  quartic is solved by a fixed-iteration Durand-Kerner sweep in complex
+  arithmetic — batched, branch-free, no host eig/companion-matrix — so it
+  maps onto the TPU unlike classical root finders. At inlier ratio w a
+  3-point sample survives with probability w^3 vs w^6 for DLT, which is the
+  difference between registering and losing an image on contaminated
+  correspondence sets (w=0.3: 2.7% vs 0.07% per hypothesis).
+* 6-point DLT: overdetermined-sample fallback that tolerates grid-quantized
+  keypoint noise better at high inlier ratios (more points per hypothesis
+  average the noise down) and needs no root disambiguation.
 """
 
 from __future__ import annotations
@@ -57,6 +64,152 @@ def _dlt_pose(X: jax.Array, x: jax.Array, w: jax.Array):
     scale = jnp.sum(S, axis=-1) / 3.0
     t = t_raw / jnp.maximum(scale[..., None], 1e-12)
     return R, t
+
+
+def _quartic_roots(coef: jax.Array, iters: int = 60) -> jax.Array:
+    """Roots of c4 x^4 + ... + c0 (coef ascending (..., 5)) by Durand-Kerner.
+
+    Fixed-iteration, branch-free, complex64 — jit/vmap/TPU friendly. Returns
+    (..., 4) complex roots; callers filter by |imag| and domain constraints.
+    Degenerate leading coefficients are guarded (the affected sample simply
+    yields no valid root, which RANSAC absorbs)."""
+    lead = coef[..., 4:5]
+    lead = jnp.where(jnp.abs(lead) < 1e-12, 1e-12, lead)
+    c = (coef / lead).astype(jnp.complex64)  # monic: x^4 + c3 x^3 + ... + c0
+
+    # Standard DK seeds: powers of (0.4 + 0.9i), distinct and non-real
+    seed = jnp.asarray(
+        [(0.4 + 0.9j) ** k for k in range(1, 5)], jnp.complex64
+    )
+    z = jnp.broadcast_to(seed, (*c.shape[:-1], 4))
+
+    def horner(z_):
+        p = jnp.ones_like(z_)
+        for k in (3, 2, 1, 0):
+            p = p * z_ + c[..., k : k + 1]
+        return p
+
+    def step(_, z_):
+        pz = horner(z_)
+        diff = z_[..., :, None] - z_[..., None, :]
+        eye = jnp.eye(4, dtype=jnp.complex64)
+        denom = jnp.prod(diff + eye, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        return z_ - pz / denom
+
+    return jax.lax.fori_loop(0, iters, step, z)
+
+
+def _poly_mul(p: jax.Array, q: jax.Array, out_deg: int) -> jax.Array:
+    """Coefficient convolution, ascending powers, (..., dp+1) x (..., dq+1)
+    -> (..., out_deg+1)."""
+    out = jnp.zeros((*p.shape[:-1], out_deg + 1), p.dtype)
+    for i in range(p.shape[-1]):
+        for j in range(q.shape[-1]):
+            if i + j <= out_deg:
+                out = out.at[..., i + j].add(p[..., i] * q[..., j])
+    return out
+
+
+def _p3p_candidates(X: jax.Array, x: jax.Array):
+    """Grunert P3P: (..., 3, 3) world points + (..., 3, 2) normalized image
+    coords -> (R (..., 4, 3, 3), t (..., 4, 3), valid (..., 4)).
+
+    Up to 4 pose candidates per sample (quartic roots); invalid roots are
+    flagged, their poses are identity-ish garbage the caller's scoring
+    rejects via the valid mask."""
+    f = jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+    f = f * jax.lax.rsqrt(jnp.sum(f * f, axis=-1, keepdims=True) + 1e-20)
+    P1, P2, P3 = X[..., 0, :], X[..., 1, :], X[..., 2, :]
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+
+    a2 = jnp.sum((P2 - P3) ** 2, axis=-1)  # side opposite P1
+    b2 = jnp.sum((P1 - P3) ** 2, axis=-1)
+    c2 = jnp.sum((P1 - P2) ** 2, axis=-1)
+    ca = jnp.sum(f2 * f3, axis=-1)         # cos(angle) opposite side a
+    cb = jnp.sum(f1 * f3, axis=-1)
+    cg = jnp.sum(f1 * f2, axis=-1)
+
+    b2s = jnp.where(b2 < 1e-12, 1e-12, b2)
+    A = (a2 - c2) / b2s
+
+    # s2 = u s1, s3 = v s1. Eliminating s1 and u leaves a quartic in v:
+    #   E(v) = N(v)^2 - 2 ca v N(v) D(v) + (v^2 - Q(v)) D(v)^2 = 0
+    # with  N(v) = (A-1) v^2 - 2 A cb v + (A+1)        [u = N / D]
+    #       D(v) = 2 (cg - ca v)
+    #       Q(v) = (a2/b2)(1 + v^2 - 2 cb v)
+    one = jnp.ones_like(A)
+    N = jnp.stack([A + one, -2.0 * A * cb, A - one], axis=-1)      # deg 2
+    D = jnp.stack([2.0 * cg, -2.0 * ca], axis=-1)                  # deg 1
+    q_ = a2 / b2s
+    # v^2 - Q(v)  (deg 2, ascending)
+    VQ = jnp.stack([-q_, 2.0 * q_ * cb, one - q_], axis=-1)
+    NN = _poly_mul(N, N, 4)
+    ND = _poly_mul(N, D, 3)
+    # 2 ca v * (N D): shift by one power, scale
+    vND = jnp.concatenate([jnp.zeros_like(ND[..., :1]), ND], axis=-1)
+    DD = _poly_mul(D, D, 2)
+    E = NN - 2.0 * ca[..., None] * vND + _poly_mul(VQ, DD, 4)
+
+    roots = _quartic_roots(E)                                       # (..., 4)
+    v = jnp.real(roots)
+    real_ok = jnp.abs(jnp.imag(roots)) < 1e-4 * (1.0 + jnp.abs(v))
+
+    # Newton-polish the (near-)real roots in real f32: DK gets within ~1e-3;
+    # three quadratically-converging steps take the pose error to float eps.
+    dE = jnp.stack(
+        [E[..., 1], 2.0 * E[..., 2], 3.0 * E[..., 3], 4.0 * E[..., 4]],
+        axis=-1,
+    )
+
+    def _eval(p, vv):
+        out = jnp.zeros_like(vv)
+        for k in range(p.shape[-1] - 1, -1, -1):
+            out = out * vv + p[..., k : k + 1]
+        return out
+
+    for _ in range(3):
+        dEn = _eval(dE, v)
+        dEn = jnp.where(jnp.abs(dEn) < 1e-12, 1e-12, dEn)
+        v = v - _eval(E, v) / dEn
+
+    # Back-substitute each root
+    def eval_poly(p, vv):
+        out = jnp.zeros_like(vv)
+        for k in range(p.shape[-1] - 1, -1, -1):
+            out = out * vv + p[..., k : k + 1]
+        return out
+
+    Dn = eval_poly(D, v)
+    Dn = jnp.where(jnp.abs(Dn) < 1e-10, 1e-10, Dn)
+    u = eval_poly(N, v) / Dn                                        # (..., 4)
+    s1sq_den = 1.0 + v * v - 2.0 * v * cb[..., None]
+    s1 = jnp.sqrt(b2s[..., None] / jnp.where(s1sq_den < 1e-12, 1e-12, s1sq_den))
+    s2 = u * s1
+    s3 = v * s1
+    valid = (
+        real_ok & (s1 > 1e-9) & (s2 > 1e-9) & (s3 > 1e-9)
+        & (s1sq_den > 1e-12) & jnp.isfinite(s1 + s2 + s3)
+    )
+
+    # Camera-frame points Y_i = s_i f_i; absolute orientation (Horn/SVD)
+    Y = jnp.stack(
+        [s1[..., None] * f1[..., None, :],
+         s2[..., None] * f2[..., None, :],
+         s3[..., None] * f3[..., None, :]], axis=-2,
+    )  # (..., 4, 3pts, 3)
+    Pw = jnp.broadcast_to(X[..., None, :, :], Y.shape)
+    Pc = jnp.mean(Pw, axis=-2, keepdims=True)
+    Yc = jnp.mean(Y, axis=-2, keepdims=True)
+    M = jnp.einsum("...ni,...nj->...ij", Y - Yc, Pw - Pc)
+    U, _S, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    Dfix = jnp.concatenate(
+        [jnp.ones((*det.shape, 2)), det[..., None]], axis=-1
+    )
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, Dfix, Vt)
+    t = Yc[..., 0, :] - jnp.einsum("...ij,...j->...i", R, Pc[..., 0, :])
+    return R, t, valid
 
 
 def _reproj_err2(R, t, X, x):
@@ -109,8 +262,18 @@ def estimate_absolute_pose(
     gumbel = jax.random.gumbel(rng, (n_hypotheses, n))
     scores = jnp.where(mask[None, :], gumbel, -jnp.inf)
     _, idx = jax.lax.top_k(scores, 6)
-    R_h, t_h = _dlt_pose(X[idx], x[idx], jnp.ones(idx.shape, X.dtype))
+    R_dlt, t_dlt = _dlt_pose(X[idx], x[idx], jnp.ones(idx.shape, X.dtype))
+    # P3P on the first 3 indices of every sample: up to 4 poses each. Both
+    # families share one consensus pass below (COLMAP's registration solver
+    # is P3P; DLT covers the high-inlier grid-noise regime better).
+    R_p3p, t_p3p, valid_p3p = _p3p_candidates(X[idx[:, :3]], x[idx[:, :3]])
+    R_h = jnp.concatenate([R_dlt, R_p3p.reshape(-1, 3, 3)], axis=0)
+    t_h = jnp.concatenate([t_dlt, t_p3p.reshape(-1, 3)], axis=0)
+    hyp_ok = jnp.concatenate(
+        [jnp.ones((n_hypotheses,), bool), valid_p3p.reshape(-1)], axis=0
+    )
     err = _reproj_err2(R_h, t_h, X[None], x[None])
+    err = jnp.where(hyp_ok[:, None], err, jnp.inf)
 
     # LO-RANSAC-style annealed local optimization (COLMAP pairs its P3P
     # hypotheses with local optimization; a 6-pt DLT hypothesis from

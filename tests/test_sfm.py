@@ -86,6 +86,53 @@ def test_pnp_recovers_absolute_pose():
     assert dt < 0.05, dt
 
 
+def test_p3p_minimal_exact():
+    """Grunert P3P must return the exact pose among its <=4 candidates on
+    noise-free minimal data (quartic solved by the Durand-Kerner sweep)."""
+    from detectorfreesfm_tpu.sfm.pnp import _p3p_candidates
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=1, n_pts=3)
+        x = normalize_points(jnp.asarray(uvs[0]), jnp.asarray(K))
+        R_c, t_c, valid = _p3p_candidates(
+            jnp.asarray(pts)[None], x[None]
+        )
+        R_c, t_c, valid = np.asarray(R_c[0]), np.asarray(t_c[0]), np.asarray(valid[0])
+        best = np.inf
+        for k in range(4):
+            if not valid[k]:
+                continue
+            dR = float(rotation_angle_deg(jnp.asarray(R_c[k] @ Rs[0].T)))
+            dt = float(np.linalg.norm(t_c[k] - ts[0]))
+            best = min(best, dR + dt)
+        # 0.03 deg is the f32 acos floor of rotation_angle_deg
+        # (sqrt(2 * eps_f32) rad), i.e. "exact" at this precision.
+        assert best < 0.05, (trial, best, valid)
+
+
+def test_pnp_p3p_survives_low_inlier_ratio():
+    """At ~30% inliers a 6-pt DLT sample is alive with p=0.07%/hypothesis
+    (256 hypotheses => ~17% success); the P3P family keeps registration
+    working (COLMAP's minimal-solver regime)."""
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=1, n_pts=300)
+    rng = np.random.default_rng(3)
+    uv = uvs[0] + rng.normal(0, 0.3, uvs[0].shape)
+    uv[:210] = rng.uniform(0, 640, (210, 2))  # 70% outliers
+    x = normalize_points(jnp.asarray(uv), jnp.asarray(K))
+    ok = 0
+    for seed in range(5):
+        res = estimate_absolute_pose(
+            jnp.asarray(pts), x, jnp.ones(len(pts), bool),
+            jax.random.PRNGKey(seed), threshold=2.0 / 500.0,
+        )
+        R_est = np.asarray(quat_to_rotmat(res.qvec))
+        dR = float(rotation_angle_deg(jnp.asarray(R_est @ Rs[0].T)))
+        if int(res.n_inliers) > 60 and dR < 1.0:
+            ok += 1
+    assert ok >= 4, ok
+
+
 def test_build_tracks_union_find():
     n_kpts = {0: 3, 1: 3, 2: 3}
     matches = {
