@@ -100,3 +100,98 @@ def _upsample2(x):
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+class ResNetFPN(nn.Module):
+    """Generic ResNet-FPN covering the reference's remaining stride variants.
+
+    The reference ships five near-identical classes — ResNetFPN_{8_2, 8_1,
+    4_1, 2_1, 16_4} (src/MultiviewMatcher/backbone/resnet.py:85-520, its own
+    "FIXME: REPEAT") — differing only in first-conv kernel/stride, trunk
+    depth, and which pyramid levels are emitted. One parameterized module
+    replaces them: `stage_strides` fixes the trunk, `fine_stage` fixes how
+    far the top-down path descends. ResNetFPN_8_2 above is kept as a distinct
+    class for checkpoint-name stability (it is the variant both pipelines
+    load); `build_resnetfpn` maps every reference variant name.
+
+    Returns (coarse, fine): coarse = deepest stage after a 1x1 out conv
+    (block_dims[-1] channels, resolution = prod(strides)); fine = the FPN
+    output at stage `fine_stage` (block_dims[fine_stage] channels).
+    """
+
+    stage_strides: Sequence[int] = (1, 2, 2)
+    block_dims: Sequence[int] = (128, 196, 256)
+    initial_dim: int = 128
+    first_kernel: int = 7
+    first_stride: int = 1
+    fine_stage: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bd = list(self.block_dims)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            name=name,
+        )
+        k, s = self.first_kernel, self.first_stride
+        x = nn.Conv(self.initial_dim, (k, k), strides=(s, s), padding=k // 2,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(bn("bn1")(x))
+        feats = []
+        for i, (d, st) in enumerate(zip(bd, self.stage_strides)):
+            x = BasicBlock(d, st, self.dtype, name=f"layer{i + 1}_0")(x, train)
+            x = BasicBlock(d, 1, self.dtype, name=f"layer{i + 1}_1")(x, train)
+            feats.append(x)
+
+        coarse = nn.Conv(bd[-1], (1, 1), use_bias=False, dtype=self.dtype,
+                         name=f"layer{len(bd)}_out")(feats[-1])
+        # Top-down: lateral 1x1 raises stage i to the level-(i+1) width, the
+        # two 3x3 smooths bring it back down to the stage-i width (the
+        # reference's outconv/outconv2 channel flow).
+        y = coarse
+        for i in range(len(bd) - 2, self.fine_stage - 1, -1):
+            y = _upsample2(y)
+            lat = nn.Conv(bd[i + 1], (1, 1), use_bias=False, dtype=self.dtype,
+                          name=f"layer{i + 1}_lateral")(feats[i])
+            y = lat + y
+            y = nn.Conv(bd[i + 1], (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"layer{i + 1}_smooth1")(y)
+            y = nn.relu(bn(f"layer{i + 1}_smooth_bn")(y))
+            y = nn.Conv(bd[i], (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"layer{i + 1}_smooth2")(y)
+        return coarse, y
+
+
+# Reference variant table (name -> constructor kwargs). Resolutions are
+# relative to the input: coarse at prod(first_stride, stage_strides), fine at
+# the `fine_stage` level. Defaults mirror the reference training configs'
+# channel ladders; all are overridable at build time.
+_FPN_VARIANTS = {
+    # conv1 7x7/s1, 4 stages -> coarse 1/8, fine 1/1
+    "8_1": dict(first_kernel=7, first_stride=1, stage_strides=(1, 2, 2, 2),
+                block_dims=(64, 96, 128, 196), initial_dim=64, fine_stage=0),
+    # conv1 7x7/s1, 3 stages -> coarse 1/4, fine 1/1
+    "4_1": dict(first_kernel=7, first_stride=1, stage_strides=(1, 2, 2),
+                block_dims=(64, 96, 128), initial_dim=64, fine_stage=0),
+    # conv1 3x3/s1, 2 stages -> coarse 1/2, fine 1/1
+    "2_1": dict(first_kernel=3, first_stride=1, stage_strides=(1, 2),
+                block_dims=(64, 96), initial_dim=64, fine_stage=0),
+    # conv1 7x7/s2, 4 stages -> coarse 1/16, fine 1/4
+    "16_4": dict(first_kernel=7, first_stride=2, stage_strides=(1, 2, 2, 2),
+                 block_dims=(128, 196, 256, 384), initial_dim=128,
+                 fine_stage=1),
+}
+
+
+def build_resnetfpn(variant: str, dtype: jnp.dtype = jnp.float32, **overrides):
+    """Build any reference ResNetFPN variant by name ('8_2', '8_1', '4_1',
+    '2_1', '16_4'); replaces src/MultiviewMatcher/backbone/__init__.py:8."""
+    if variant == "8_2":
+        return ResNetFPN_8_2(dtype=dtype, **overrides)
+    if variant not in _FPN_VARIANTS:
+        raise ValueError(f"unknown ResNetFPN variant {variant!r}; "
+                         f"choose from ['8_2', {sorted(_FPN_VARIANTS)}]")
+    kw = dict(_FPN_VARIANTS[variant])
+    kw.update(overrides)
+    return ResNetFPN(dtype=dtype, **kw)

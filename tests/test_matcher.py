@@ -136,3 +136,34 @@ def test_position_encoding_no_tracer_leak_across_jits():
     out1 = jax.jit(PE.add_position_encoding)(x)  # populates the cache
     out2 = jax.jit(PE.add_position_encoding)(x)  # fresh trace, cached table
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+@pytest.mark.parametrize("variant,coarse_red,fine_red,cdim,fdim", [
+    ("8_1", 8, 1, 196, 64),
+    ("4_1", 4, 1, 128, 64),
+    ("2_1", 2, 1, 96, 64),
+    ("16_4", 16, 4, 384, 196),
+])
+def test_resnetfpn_variant_shapes(variant, coarse_red, fine_red, cdim, fdim):
+    """The generic ResNetFPN must hit every reference variant's contract
+    (coarse/fine reduction factors + channel widths,
+    src/MultiviewMatcher/backbone/resnet.py:85-520)."""
+    from detectorfreesfm_tpu.models.backbone import build_resnetfpn
+
+    net = build_resnetfpn(variant)
+    x = jnp.ones((1, 64, 96, 1), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    coarse, fine = jax.jit(lambda v, a: net.apply(v, a))(variables, x)
+    assert coarse.shape == (1, 64 // coarse_red, 96 // coarse_red, cdim)
+    assert fine.shape == (1, 64 // fine_red, 96 // fine_red, fdim)
+    assert bool(jnp.isfinite(coarse).all()) and bool(jnp.isfinite(fine).all())
+
+
+def test_resnetfpn_variant_8_2_is_canonical_class():
+    from detectorfreesfm_tpu.models.backbone import (
+        ResNetFPN_8_2, build_resnetfpn,
+    )
+
+    assert isinstance(build_resnetfpn("8_2"), ResNetFPN_8_2)
+    with pytest.raises(ValueError):
+        build_resnetfpn("32_8")
