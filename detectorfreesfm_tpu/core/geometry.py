@@ -48,6 +48,29 @@ def quat_conjugate(q: jax.Array) -> jax.Array:
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
 
 
+def np_quat_to_rotmat(q: "np.ndarray") -> "np.ndarray":
+    """Pure-numpy (..., 4) wxyz -> (..., 3, 3): for HOST loops (mapper
+    bookkeeping, COLMAP export). Eager JAX dispatch costs ~ms per call; host
+    code calling quat_to_rotmat per image/observation dominated mapper wall
+    time at scale. Same formula as quat_to_rotmat."""
+    import numpy as np
+
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-15)
+    w, x, y, z = np.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    r = np.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix."""
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)

@@ -17,6 +17,8 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+from ..core.geometry import np_quat_to_rotmat as _np_quat_to_rotmat
+
 DEFAULT_THRESHOLDS = (1, 3, 5, 10, 20)
 
 _trapz = getattr(np, "trapezoid", None) or np.trapz
@@ -42,23 +44,6 @@ def pose_auc(errors: np.ndarray, thresholds: Sequence[float]) -> List[float]:
         e = np.concatenate([errors[:last_index], [t]])
         aucs.append(float(_trapz(r, x=e) / t))
     return aucs
-
-
-def _np_quat_to_rotmat(q: np.ndarray) -> np.ndarray:
-    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-15)
-    w, x, y, z = np.moveaxis(q, -1, 0)
-    xx, yy, zz = x * x, y * y, z * z
-    wx, wy, wz = w * x, w * y, w * z
-    xy, xz, yz = x * y, x * z, y * z
-    r = np.stack(
-        [
-            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
-            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
-            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
-        ],
-        axis=-1,
-    )
-    return r.reshape(q.shape[:-1] + (3, 3))
 
 
 def all_pairs_relative_errors(

@@ -21,7 +21,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..core.geometry import quat_to_rotmat
+from ..core.geometry import np_quat_to_rotmat
 from ..sfm.reconstruction import Reconstruction
 
 
@@ -45,7 +45,7 @@ def _point_view_scales(rec: Reconstruction, pid: int) -> List[Tuple[int, int, fl
         if not im.registered:
             continue
         K = rec.K_of_image(img_id)
-        R = np.asarray(quat_to_rotmat(np.asarray(im.qvec, np.float64)))
+        R = np_quat_to_rotmat(np.asarray(im.qvec, np.float64))
         depth = float((R @ pt["xyz"] + im.tvec)[2])
         if depth <= 1e-6:
             continue

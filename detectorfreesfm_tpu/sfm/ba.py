@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
+from ..core.geometry import np_quat_to_rotmat, rotmat_to_quat, so3_exp
 from ..core.precision import with_highest_matmul_precision
 
 CAM_DOF = 7  # 3 rot + 3 trans + 1 log-focal
@@ -415,7 +415,7 @@ def bundle_adjust(
     pts_n = (points - center) / scale
     # x_cam = R x_w + t ; with x_w = s*x_n + c: x_cam = s (R x_n + (R c + t)/s)
     # → normalized pose t_n = (R c + t)/s, and pixels are scale-invariant.
-    R_all = np.asarray(quat_to_rotmat(jnp.asarray(qvec)), np.float64)
+    R_all = np_quat_to_rotmat(np.asarray(qvec, np.float64))
     t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
 
     # Build per-point padded track->obs table (vectorized: rank of each

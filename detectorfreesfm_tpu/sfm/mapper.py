@@ -78,14 +78,15 @@ def _pad_pow2(n: int, lo: int = 64) -> int:
 def _camera_cache(rec: Reconstruction) -> Dict[int, tuple]:
     """{img_id: (R, t, C, K)} numpy for all registered images, built with ONE
     batched quat->rotmat call (per-observation jnp dispatches made the old
-    per-track loops minutes-slow at real scene scale)."""
-    from ..core.geometry import quat_to_rotmat
+    per-track loops minutes-slow at real scene scale). Pure numpy: an eager
+    jnp call here recompiles for every distinct registered-image count."""
+    from ..core.geometry import np_quat_to_rotmat
 
     reg = rec.registered_images
     if not reg:
         return {}
     q = np.stack([rec.images[i].qvec for i in reg])
-    R = np.asarray(quat_to_rotmat(jnp.asarray(q)), np.float64)
+    R = np_quat_to_rotmat(np.asarray(q, np.float64))
     out = {}
     for k, i in enumerate(reg):
         t = rec.images[i].tvec
@@ -422,8 +423,22 @@ class IncrementalMapper:
             M_fit[:n][few] = live0[few]
         else:
             M_fit = M
+        # Pad the view dim to a power-of-two bucket at the jit boundary:
+        # an unpadded V recompiles triangulate_dlt for every distinct max
+        # track length (dozens of XLA compiles per scene at >=60-camera
+        # scale). Padded views are mask-False; the numpy consensus machinery
+        # above stays at the true V.
+        V_pad = _pad_pow2(V, lo=4)
+        P_j, UV_j, M_j = P, UV, M_fit
+        if V_pad != V:
+            P_j = np.concatenate(
+                [P, np.zeros((n_pad, V_pad - V, 3, 4), P.dtype)], axis=1)
+            UV_j = np.concatenate(
+                [UV, np.zeros((n_pad, V_pad - V, 2), UV.dtype)], axis=1)
+            M_j = np.concatenate(
+                [M_fit, np.zeros((n_pad, V_pad - V), bool)], axis=1)
         X, ok = triangulate_dlt(
-            jnp.asarray(P), jnp.asarray(UV), jnp.asarray(M_fit)
+            jnp.asarray(P_j), jnp.asarray(UV_j), jnp.asarray(M_j)
         )
         X = np.asarray(X[:n], np.float64)
         ok = np.asarray(ok[:n]) & np.all(np.isfinite(X), axis=1)

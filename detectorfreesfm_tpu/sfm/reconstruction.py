@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.geometry import quat_to_rotmat
+from ..core.geometry import np_quat_to_rotmat, quat_to_rotmat
 from ..data import colmap_io
 
 
@@ -151,20 +151,42 @@ class Reconstruction:
         return self.cameras[self.images[image_id].camera_id].K()
 
     def reprojection_errors(self) -> Dict[int, np.ndarray]:
-        """Per-point per-observation pixel reprojection errors (host numpy)."""
-        out = {}
+        """Per-point per-observation pixel reprojection errors (host numpy).
+
+        Fully vectorized: one batched quat->R per unique image and one
+        einsum over all observations. The per-observation loop this replaces
+        dispatched ~10 eager JAX ops per observation and dominated mapper
+        wall time at >=60-camera scale (~60 s of a 176 s run)."""
+        pids, counts = [], []
+        img_rows, xyz_rows, uv_rows = [], [], []
+        img_index: Dict[int, int] = {}
+        uniq_ids: List[int] = []
         for pid, pt in self.points.items():
-            errs = []
+            pids.append(pid)
+            counts.append(len(pt["track"]))
             for img_id, kpt in pt["track"]:
-                im = self.images[img_id]
-                K = self.K_of_image(img_id)
-                R = quat_to_rotmat(im.qvec)
-                Xc = np.asarray(R) @ pt["xyz"] + im.tvec
-                z = Xc[2] if abs(Xc[2]) > 1e-12 else 1e-12
-                uv = (K @ (Xc / z))[:2]
-                errs.append(np.linalg.norm(uv - im.xys[kpt]))
-            out[pid] = np.asarray(errs)
-        return out
+                row = img_index.get(img_id)
+                if row is None:
+                    row = img_index[img_id] = len(uniq_ids)
+                    uniq_ids.append(img_id)
+                img_rows.append(row)
+                xyz_rows.append(pt["xyz"])
+                uv_rows.append(self.images[img_id].xys[kpt])
+        if not pids:
+            return {}
+        q = np.stack([self.images[i].qvec for i in uniq_ids])
+        t = np.stack([self.images[i].tvec for i in uniq_ids])
+        K = np.stack([self.K_of_image(i) for i in uniq_ids])
+        R = np_quat_to_rotmat(q)                              # (U, 3, 3)
+        idx = np.asarray(img_rows, np.int64)
+        X = np.asarray(xyz_rows, np.float64)                  # (N, 3)
+        uv_obs = np.asarray(uv_rows, np.float64)              # (N, 2)
+        Xc = np.einsum("nij,nj->ni", R[idx], X) + t[idx]
+        z = np.where(np.abs(Xc[:, 2:]) > 1e-12, Xc[:, 2:], 1e-12)
+        uv = np.einsum("nij,nj->ni", K[idx], Xc / z)[:, :2]
+        errs = np.linalg.norm(uv - uv_obs, axis=1)
+        splits = np.split(errs, np.cumsum(counts)[:-1])
+        return dict(zip(pids, splits))
 
     # -- COLMAP interop ----------------------------------------------------------
 
