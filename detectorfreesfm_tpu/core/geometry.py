@@ -71,6 +71,35 @@ def np_quat_to_rotmat(q: "np.ndarray") -> "np.ndarray":
     return r.reshape(q.shape[:-1] + (3, 3))
 
 
+def np_rotmat_to_quat(R: "np.ndarray") -> "np.ndarray":
+    """Pure-numpy (..., 3, 3) -> (..., 4) wxyz, for HOST loops (same
+    branch-free Shepperd method as rotmat_to_quat; see np_quat_to_rotmat for
+    why host code must not dispatch eager jnp)."""
+    import numpy as np
+
+    m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    m01, m02, m10, m12, m20, m21 = (
+        R[..., 0, 1], R[..., 0, 2], R[..., 1, 0],
+        R[..., 1, 2], R[..., 2, 0], R[..., 2, 1],
+    )
+    tr = m00 + m11 + m22
+    s = lambda x: np.sqrt(np.maximum(x, 1e-24))
+    s0 = s(1.0 + tr)
+    s1 = s(1.0 + m00 - m11 - m22)
+    s2 = s(1.0 - m00 + m11 - m22)
+    s3 = s(1.0 - m00 - m11 + m22)
+    cands = np.stack([
+        np.stack([s0 * s0, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+        np.stack([m21 - m12, s1 * s1, m01 + m10, m02 + m20], axis=-1),
+        np.stack([m02 - m20, m01 + m10, s2 * s2, m12 + m21], axis=-1),
+        np.stack([m10 - m01, m02 + m20, m12 + m21, s3 * s3], axis=-1),
+    ], axis=-2)
+    scores = np.stack([tr, m00, m11, m22], axis=-1)
+    idx = np.argmax(scores, axis=-1)
+    q = np.take_along_axis(cands, idx[..., None, None], axis=-2)[..., 0, :]
+    return q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-15)
+
+
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """(..., 4) wxyz quaternion -> (..., 3, 3) rotation matrix."""
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)

@@ -9,6 +9,8 @@ point_triangulator (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +27,9 @@ def projection_matrices(qvec: jax.Array, tvec: jax.Array, K: jax.Array) -> jax.A
 from .precision import with_highest_matmul_precision
 
 
+# jit is load-bearing: mapper host code calls this dozens of times per scene;
+# unjitted it dispatches each op eagerly (one XLA mini-compile per op/shape).
+@functools.partial(jax.jit, static_argnames=("eps",))
 @with_highest_matmul_precision
 def triangulate_dlt(
     P: jax.Array, uv: jax.Array, mask: jax.Array | None = None, eps: float = 1e-12

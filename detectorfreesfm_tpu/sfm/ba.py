@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.geometry import np_quat_to_rotmat, rotmat_to_quat, so3_exp
+from ..core.geometry import np_quat_to_rotmat, np_rotmat_to_quat, so3_exp
 from ..core.precision import with_highest_matmul_precision
 
 CAM_DOF = 7  # 3 rot + 3 trans + 1 log-focal
@@ -523,7 +523,7 @@ def bundle_adjust(
                 break
 
     # Denormalize
-    q_out = np.asarray(rotmat_to_quat(prob.cam_R))
+    q_out = np_rotmat_to_quat(np.asarray(prob.cam_R, np.float64))
     R_out = np.asarray(prob.cam_R, np.float64)
     t_out = np.asarray(prob.cam_t, np.float64) * scale - np.einsum(
         "cij,j->ci", R_out, center

@@ -440,8 +440,10 @@ class IncrementalMapper:
         X, ok = triangulate_dlt(
             jnp.asarray(P_j), jnp.asarray(UV_j), jnp.asarray(M_j)
         )
-        X = np.asarray(X[:n], np.float64)
-        ok = np.asarray(ok[:n]) & np.all(np.isfinite(X), axis=1)
+        # np.asarray BEFORE slicing: an eager jax-array slice is its own
+        # mini XLA program per shape.
+        X = np.asarray(X, np.float64)[:n]
+        ok = np.asarray(ok)[:n] & np.all(np.isfinite(X), axis=1)
 
         # Vectorized cheirality + reprojection checks over (n, V)
         live = M[:n]
@@ -552,8 +554,8 @@ class IncrementalMapper:
             cam.params = cam.params.copy()
             cam.params[0] *= fac
             cam.params[1] *= fac
-        rec.set_pose(img_id, np.asarray(res.qvec[best], np.float64),
-                     np.asarray(res.tvec[best], np.float64))
+        rec.set_pose(img_id, np.asarray(res.qvec, np.float64)[best],
+                     np.asarray(res.tvec, np.float64)[best])
         return True
 
     # -- BA + filtering ------------------------------------------------------------
@@ -625,19 +627,24 @@ class IncrementalMapper:
         pids = sorted(rec.points)
         if not pids:
             return 0
-        V = max(len(rec.points[p]["track"]) for p in pids)
+        # V padded to a pow2 bucket (one triangulate_dlt compile per bucket);
+        # P built from the numpy camera cache — the old per-observation
+        # projection_matrices(jnp...) calls were eager-JAX and dominated the
+        # retriangulation pass at scale.
+        V = _pad_pow2(max(len(rec.points[p]["track"]) for p in pids), lo=4)
         n = len(pids)
         n_pad = _pad_pow2(n, lo=32)
+        cache = _camera_cache(rec)
+        P_of = {i: np.concatenate(
+            [K @ R, (K @ t)[:, None]], axis=1).astype(np.float32)
+            for i, (R, t, _C, K) in cache.items()}
         Pm = np.zeros((n_pad, V, 3, 4), np.float32)
         UV = np.zeros((n_pad, V, 2), np.float32)
         M = np.zeros((n_pad, V), bool)
         for r, pid in enumerate(pids):
             for v, (img_id, kpt) in enumerate(rec.points[pid]["track"][:V]):
                 im = rec.images[img_id]
-                Pm[r, v] = np.asarray(projection_matrices(
-                    jnp.asarray(im.qvec), jnp.asarray(im.tvec),
-                    jnp.asarray(rec.K_of_image(img_id)),
-                ))
+                Pm[r, v] = P_of[img_id]
                 UV[r, v] = im.xys[kpt]
                 M[r, v] = True
         X, ok = triangulate_dlt(jnp.asarray(Pm), jnp.asarray(UV), jnp.asarray(M))
