@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.geometry import camera_center
+from ..core.geometry import np_quat_to_rotmat
 from ..models.multiview_matcher import MultiviewRefiner, RefinerConfig
 from ..parallel.mesh import get_mesh, pad_to_multiple, replicate, shard_leading_axis
 from ..sfm.mapper import IncrementalMapper, MapperConfig
@@ -68,18 +68,17 @@ class RefineConfig:
 
 def _farthest_pair(rec: Reconstruction) -> set:
     reg = rec.registered_images
-    centers = {
-        i: np.asarray(camera_center(
-            jnp.asarray(rec.images[i].qvec), jnp.asarray(rec.images[i].tvec)))
-        for i in reg
-    }
-    best, pair = -1.0, set(reg[:2])
-    for a in range(len(reg)):
-        for b in range(a + 1, len(reg)):
-            d = float(np.linalg.norm(centers[reg[a]] - centers[reg[b]]))
-            if d > best:
-                best, pair = d, {reg[a], reg[b]}
-    return pair
+    if len(reg) < 2:
+        return set(reg)
+    # Batched numpy C = -R^T t (per-image eager jnp camera_center calls cost
+    # ~ms each; see core.geometry.np_quat_to_rotmat).
+    q = np.stack([rec.images[i].qvec for i in reg])
+    t = np.stack([rec.images[i].tvec for i in reg])
+    R = np_quat_to_rotmat(np.asarray(q, np.float64))
+    C = -np.einsum("nji,nj->ni", R, t)
+    d2 = np.sum((C[:, None] - C[None, :]) ** 2, axis=-1)
+    a, b = np.unravel_index(int(np.argmax(d2)), d2.shape)
+    return {reg[a], reg[b]}
 
 
 def _pad_tracks(arr: np.ndarray, t_pad: int, fill=0):
