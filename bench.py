@@ -12,6 +12,8 @@ src/coarse_match/coarse_match_worker.py:86); vs_baseline = pairs_per_s / 10.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import jax
@@ -22,7 +24,26 @@ from detectorfreesfm_tpu.models.loftr import DetectorFreeMatcher, MatcherConfig
 BASELINE_PAIRS_PER_S = 10.0
 
 
+def _tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe TPU backend init in a SUBPROCESS. The axon relay can wedge so
+    that PJRT client creation blocks forever inside jax.devices(); probing
+    in-process would hang this bench (and deadlock any later backend init on
+    xla_bridge's lock). On timeout we fall back to the CPU smoke metric
+    instead of hanging the driver."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return out.returncode == 0 and "tpu" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
+    if not _tpu_reachable():
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     size = 832 if on_tpu else 128
     batch = 16 if on_tpu else 2
