@@ -124,3 +124,22 @@ def test_triangulate_dlt_masked():
     err, depth = T.reprojection_errors(X, jnp.asarray(np.tile(P, (n_pts, 1, 1, 1))), jnp.asarray(uv))
     assert np.asarray(err)[:, :4].max() < 0.1
     assert (np.asarray(depth)[:, :4] > 0).all()
+
+
+def test_np_quat_helpers_match_jax():
+    """Host-loop numpy quat<->R must agree with the jitted versions to f32
+    eps (they replaced eager jnp calls in mapper/BA/refine host code)."""
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(64, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R_np = G.np_quat_to_rotmat(q)
+    R_jx = np.asarray(G.quat_to_rotmat(jnp.asarray(q, jnp.float64)))
+    np.testing.assert_allclose(R_np, R_jx, atol=1e-6)
+    q_np = G.np_rotmat_to_quat(R_np)
+    q_jx = np.asarray(G.rotmat_to_quat(jnp.asarray(R_np, jnp.float64)))
+    # quaternion double cover: compare up to sign
+    sign = np.sign(np.sum(q_np * q_jx, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q_np * sign, q_jx, atol=1e-6)
+    # roundtrip to the original (up to sign)
+    sign0 = np.sign(np.sum(q_np * q, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q_np * sign0, q, atol=1e-6)
