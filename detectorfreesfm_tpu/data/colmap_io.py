@@ -200,7 +200,12 @@ def read_cameras_text(path: str) -> Dict[int, Camera]:
 def read_images_text(path: str) -> Dict[int, Image]:
     images: Dict[int, Image] = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.strip().startswith("#")]
+        # Keep BLANK lines: an image with zero observations has an empty
+        # points2D line (COLMAP writes it), and dropping it would misalign
+        # the (pose line, points line) pairing for every later image.
+        lines = [l.strip() for l in f if not l.strip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         el = lines[i].split()
         img_id = int(el[0])

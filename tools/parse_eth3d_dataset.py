@@ -19,27 +19,29 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from detectorfreesfm_tpu.core.geometry import quat_to_rotmat  # noqa: E402
+from detectorfreesfm_tpu.core.geometry import np_quat_to_rotmat  # noqa: E402
 from detectorfreesfm_tpu.data import colmap_io  # noqa: E402
 
 
-def parse_scene(scene_dir: str, out_dir: str, model_subdir: str):
+def parse_scene(scene_dir: str, out_dir: str, model_subdir: str,
+                img_subdir: str = "images"):
     model_dir = os.path.join(scene_dir, model_subdir)
     cams, images, _ = colmap_io.read_model(model_dir)
-    img_root = os.path.join(scene_dir, "images")
+    img_root = os.path.join(scene_dir, img_subdir)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "poses"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "intrins"), exist_ok=True)
-    import jax.numpy as jnp
-
+    n_linked = 0
     for im in images.values():
         src = os.path.join(img_root, im.name)
         flat = im.name.replace("/", "_")
         dst = os.path.join(out_dir, "images", flat)
         if not os.path.exists(dst) and os.path.exists(src):
             os.symlink(os.path.abspath(src), dst)
+        if os.path.exists(dst):
+            n_linked += 1
         stem = os.path.splitext(flat)[0]
-        R = np.asarray(quat_to_rotmat(jnp.asarray(im.qvec)))
+        R = np_quat_to_rotmat(np.asarray(im.qvec, np.float64))
         m = np.eye(4)
         m[:3, :3] = R
         m[:3, 3] = im.tvec
@@ -47,6 +49,10 @@ def parse_scene(scene_dir: str, out_dir: str, model_subdir: str):
         np.savetxt(
             os.path.join(out_dir, "intrins", f"{stem}.txt"),
             cams[im.camera_id].K(),
+        )
+    if n_linked == 0 and images:
+        raise FileNotFoundError(
+            f"no model image resolved under {img_root} — wrong img_subdir?"
         )
 
 

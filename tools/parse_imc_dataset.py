@@ -23,10 +23,16 @@ def main():
     args = ap.parse_args()
     for scene in sorted(os.listdir(args.input)):
         sdir = os.path.join(args.input, scene)
-        for sub in ("sfm", os.path.join("set_100", "sfm")):
+        # IMC layouts keep the images NEXT TO the sparse model: scene/sfm ->
+        # scene/images, scene/set_100/sfm -> scene/set_100/images.
+        for sub, imgs in (
+            ("sfm", "images"),
+            (os.path.join("set_100", "sfm"), os.path.join("set_100", "images")),
+        ):
             if os.path.isdir(os.path.join(sdir, sub)):
                 print(f"parsing {scene} ({sub})")
-                parse_scene(sdir, os.path.join(args.output, scene), sub)
+                parse_scene(sdir, os.path.join(args.output, scene), sub,
+                            img_subdir=imgs)
                 break
 
 
