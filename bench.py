@@ -42,7 +42,8 @@ def _tpu_reachable(timeout_s: float = 240.0) -> bool:
 
 
 def main():
-    if not _tpu_reachable():
+    tpu_down = not _tpu_reachable()
+    if tpu_down:
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     size = 832 if on_tpu else 128
@@ -79,12 +80,17 @@ def main():
     dt = time.perf_counter() - t0
     pairs_per_s = batch * iters / dt
 
-    print(json.dumps({
+    rec = {
         "metric": "coarse_matched_pairs_per_s" + ("" if on_tpu else "_cpu_smoke"),
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-    }))
+    }
+    if tpu_down:
+        # Not a regression: the axon relay refused/never granted a chip, so
+        # this run measured the CPU smoke config (see _tpu_reachable).
+        rec["tpu_unreachable"] = True
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
