@@ -43,9 +43,77 @@ def _resize_dims(w: int, h: int, long_side: int, df: int) -> tuple:
     return nw, nh
 
 
+_native_loader = None
+_native_loader_tried = False
+
+
+def _load_native_loader():
+    """C++ JPEG/PNG decode+resize (native/imageloader.cpp), built on demand.
+    ctypes releases the GIL, so the engines' thread pools decode truly in
+    parallel (the reference's DataLoader-worker role). None -> PIL path."""
+    global _native_loader, _native_loader_tried
+    if _native_loader_tried:
+        return _native_loader
+    _native_loader_tried = True
+    import ctypes
+    import os
+    import subprocess
+
+    ndir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+    so = os.path.join(ndir, "libimageloader.so")
+    src = os.path.join(ndir, "imageloader.cpp")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", so, src, "-ljpeg", "-lpng"],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(so)
+        lib.decode_gray_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.decode_gray_resize.restype = ctypes.c_int
+        _native_loader = lib
+    except Exception:
+        _native_loader = None
+    return _native_loader
+
+
 def load_gray(
-    path: str, long_side: int = 832, df: int = 8, pad_to: int | None = None
+    path: str, long_side: int = 832, df: int = 8, pad_to: int | None = None,
+    backend: str = "auto",
 ) -> LoadedImage:
+    """Grayscale + Pillow-style triangle resize + zero-pad to a square.
+
+    backend: "auto" (native C++ when buildable, else PIL), "native", "pil".
+    The native path is numerically within ~1/255 of PIL (identical resize
+    filter; JPEG luma comes from the Y channel directly instead of PIL's
+    YCbCr->RGB->L double rounding)."""
+    import ctypes
+
+    tgt = pad_to if pad_to is not None else long_side
+    if backend != "pil":
+        lib = _load_native_loader()
+        if lib is not None:
+            out = np.zeros((tgt, tgt), dtype=np.float32)
+            meta = np.zeros(4, dtype=np.int32)
+            rc = lib.decode_gray_resize(
+                path.encode(), long_side, df, tgt,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+            if rc == 0:
+                w0, h0, nw, nh = (int(v) for v in meta)
+                scale = np.array([w0 / nw, h0 / nh], dtype=np.float32)
+                return LoadedImage(out, scale, (w0, h0), (nw, nh))
+            if backend == "native":
+                raise RuntimeError(
+                    f"native image loader failed on {path} (rc={rc})")
+            # else: fall through to PIL (e.g. exotic format)
     if not HAS_PIL:
         raise RuntimeError("PIL unavailable")
     img = PILImage.open(path).convert("L")
@@ -53,7 +121,6 @@ def load_gray(
     nw, nh = _resize_dims(w0, h0, long_side, df)
     img = img.resize((nw, nh), PILImage.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
-    tgt = pad_to if pad_to is not None else long_side
     out = np.zeros((tgt, tgt), dtype=np.float32)
     out[:nh, :nw] = arr
     scale = np.array([w0 / nw, h0 / nh], dtype=np.float32)

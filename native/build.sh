@@ -3,3 +3,5 @@
 cd "$(dirname "$0")"
 g++ -O3 -shared -fPIC -std=c++17 -o libtrackbuilder.so trackbuilder.cpp
 echo "built $(pwd)/libtrackbuilder.so"
+g++ -O3 -shared -fPIC -std=c++17 -o libimageloader.so imageloader.cpp -ljpeg -lpng
+echo "built $(pwd)/libimageloader.so"

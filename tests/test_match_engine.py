@@ -75,3 +75,33 @@ def test_engine_matches_identical_images_on_mesh():
     assert len(m["conf"]) > 0, "identical images should produce matches"
     # untrained net: identical inputs -> identical features -> diagonal matches
     np.testing.assert_allclose(m["kpts0"], m["kpts1"], atol=1e-3)
+
+
+def test_native_image_loader_matches_pil(tmp_path):
+    """The C++ loader (native/imageloader.cpp) must agree with the PIL path
+    on dims/scale bookkeeping and pixels (~1/255: JPEG luma is taken from
+    the Y channel directly instead of PIL's YCbCr->RGB->L double rounding;
+    the resize filter is identical)."""
+    import numpy as np
+    import pytest
+    from PIL import Image as PILImage
+
+    from detectorfreesfm_tpu.data.images import _load_native_loader, load_gray
+
+    if _load_native_loader() is None:
+        pytest.skip("native loader unavailable (no g++/libjpeg)")
+    rng = np.random.default_rng(0)
+    arr = (rng.uniform(0, 255, (123, 87, 3))).astype(np.uint8)
+    for name, fmt in (("a.jpg", "JPEG"), ("a.png", "PNG")):
+        p = str(tmp_path / name)
+        PILImage.fromarray(arr).save(p, fmt)
+        a = load_gray(p, 64, pad_to=64, backend="native")
+        b = load_gray(p, 64, pad_to=64, backend="pil")
+        assert a.valid_size == b.valid_size
+        assert a.orig_size == b.orig_size
+        np.testing.assert_allclose(a.scale, b.scale)
+        tol = 0.02 if fmt == "JPEG" else 0.008
+        assert float(np.abs(a.data - b.data).max()) < tol, fmt
+        # padding stays exactly zero (width is the short side here)
+        nw = a.valid_size[0]
+        assert float(np.abs(a.data[:, nw:]).max()) == 0.0
