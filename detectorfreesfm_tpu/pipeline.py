@@ -84,13 +84,11 @@ def read_pose_txt(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """4x4 matrix txt -> (qvec, tvec) world-to-camera (auto-detects c2w by
     checking which interpretation is a valid rigid transform is impossible;
     we follow the reference's convention flag: file stores w2c)."""
-    import jax.numpy as jnp
-
-    from .core.geometry import rotmat_to_quat
+    from .core.geometry import np_rotmat_to_quat
 
     m = np.loadtxt(path).reshape(4, 4)
     R, t = m[:3, :3], m[:3, 3]
-    return np.asarray(rotmat_to_quat(jnp.asarray(R))), t
+    return np_rotmat_to_quat(np.asarray(R, np.float64)), t
 
 
 def read_intrin_txt(path: str) -> np.ndarray:
@@ -373,35 +371,20 @@ def evaluate_scene_poses(
     gt_poses: Dict[str, Tuple[np.ndarray, np.ndarray]],
     thresholds=DEFAULT_THRESHOLDS,
 ) -> Dict[str, float]:
-    import jax.numpy as jnp
-
-    from .core.geometry import (
-        quat_to_rotmat, relative_pose, rotation_angle_deg, translation_angle_deg,
-    )
+    """Pairwise pose-AUC protocol via the vectorized numpy evaluator
+    (eval/pose_auc.py::all_pairs_relative_errors). The per-pair eager-jnp
+    loop this replaces cost minutes at 100+ images (O(N^2) pairs x ~30
+    dispatches each); unregistered images still contribute inf."""
+    from .eval.pose_auc import all_pairs_relative_errors
 
     names = sorted(gt_poses)
     est = {im.name: im for im in rec.images.values() if im.registered}
-    errs = []
-    for a in range(len(names)):
-        for b in range(a + 1, len(names)):
-            na, nb = names[a], names[b]
-            if na not in est or nb not in est:
-                errs.append(np.inf)  # unregistered -> infinite error
-                continue
-            ia, ib = est[na], est[nb]
-            q_rel, t_rel = relative_pose(
-                jnp.asarray(ia.qvec), jnp.asarray(ia.tvec),
-                jnp.asarray(ib.qvec), jnp.asarray(ib.tvec),
-            )
-            qa, ta = gt_poses[na]
-            qb, tb = gt_poses[nb]
-            qg, tg = relative_pose(
-                jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(qb), jnp.asarray(tb)
-            )
-            dR = float(rotation_angle_deg(
-                quat_to_rotmat(q_rel) @ jnp.swapaxes(quat_to_rotmat(qg), -1, -2)
-            ))
-            dT = float(translation_angle_deg(t_rel, tg))
-            errs.append(max(dR, dT))
-    aucs = pose_auc(np.asarray(errs), thresholds)
+    registered = np.array([n in est for n in names])
+    q_e = np.stack([est[n].qvec if n in est else np.array([1.0, 0, 0, 0])
+                    for n in names])
+    t_e = np.stack([est[n].tvec if n in est else np.zeros(3) for n in names])
+    q_g = np.stack([gt_poses[n][0] for n in names])
+    t_g = np.stack([gt_poses[n][1] for n in names])
+    errs = all_pairs_relative_errors(q_e, t_e, registered, q_g, t_g)
+    aucs = pose_auc(errs, thresholds)
     return {f"auc@{t}": a for t, a in zip(thresholds, aucs)}
