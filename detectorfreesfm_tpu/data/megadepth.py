@@ -28,12 +28,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .images import _resize_dims
-
-try:
-    from PIL import Image as PILImage
-except Exception:  # pragma: no cover
-    PILImage = None
+from .images import load_gray
 
 
 @dataclasses.dataclass
@@ -109,13 +104,12 @@ class MegaDepthTupleDataset:
         return len(self.scene.tuples)
 
     def _load_image(self, rel_path: str):
-        img = PILImage.open(os.path.join(self.scene.root, rel_path)).convert("L")
-        w0, h0 = img.size
-        nw, nh = _resize_dims(w0, h0, self.img_size, self.df)
-        img = img.resize((nw, nh), PILImage.BILINEAR)
-        arr = np.zeros((self.img_size, self.img_size), np.float32)
-        arr[:nh, :nw] = np.asarray(img, np.float32) / 255.0
-        return arr, (w0 / nw, h0 / nh)
+        # Same decode+resize+pad contract as the engines; the native C++
+        # loader (GIL-free) keeps multi-worker training staging off the GIL.
+        li = load_gray(os.path.join(self.scene.root, rel_path),
+                       long_side=self.img_size, df=self.df,
+                       pad_to=self.img_size)
+        return li.data, (float(li.scale[0]), float(li.scale[1]))
 
     def _load_depth(self, rel_path: str, scale):
         path = os.path.join(self.scene.root, rel_path)
