@@ -66,11 +66,16 @@ def _load_native_loader():
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
+            # Build to a temp path + atomic rename: concurrent processes
+            # (multi-host training launches several at once) must never
+            # CDLL a half-written .so or truncate one already dlopen'd.
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", so, src, "-ljpeg", "-lpng"],
+                 "-o", tmp, src, "-ljpeg", "-lpng"],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.decode_gray_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -27,7 +27,7 @@ import numpy as np
 from .data import colmap_io
 from .data.h5io import load_h5, save_h5
 from .data.images import load_gray
-from .eval.pose_auc import DEFAULT_THRESHOLDS, pose_auc
+from .eval.pose_auc import DEFAULT_THRESHOLDS
 from .match.engine import EngineConfig, PairMatchingEngine
 from .match.pairs import exhaustive_pairs, sequential_pairs
 from .refine.loop import RefineConfig, refine_reconstruction
@@ -372,19 +372,13 @@ def evaluate_scene_poses(
     thresholds=DEFAULT_THRESHOLDS,
 ) -> Dict[str, float]:
     """Pairwise pose-AUC protocol via the vectorized numpy evaluator
-    (eval/pose_auc.py::all_pairs_relative_errors). The per-pair eager-jnp
-    loop this replaces cost minutes at 100+ images (O(N^2) pairs x ~30
-    dispatches each); unregistered images still contribute inf."""
-    from .eval.pose_auc import all_pairs_relative_errors
+    (eval/pose_auc.py::evaluate_poses — one implementation of the protocol).
+    The per-pair eager-jnp loop this replaces cost minutes at 100+ images
+    (O(N^2) pairs x ~30 dispatches each); unregistered images still
+    contribute inf."""
+    from .eval.pose_auc import evaluate_poses
 
-    names = sorted(gt_poses)
-    est = {im.name: im for im in rec.images.values() if im.registered}
-    registered = np.array([n in est for n in names])
-    q_e = np.stack([est[n].qvec if n in est else np.array([1.0, 0, 0, 0])
-                    for n in names])
-    t_e = np.stack([est[n].tvec if n in est else np.zeros(3) for n in names])
-    q_g = np.stack([gt_poses[n][0] for n in names])
-    t_g = np.stack([gt_poses[n][1] for n in names])
-    errs = all_pairs_relative_errors(q_e, t_e, registered, q_g, t_g)
-    aucs = pose_auc(errs, thresholds)
-    return {f"auc@{t}": a for t, a in zip(thresholds, aucs)}
+    est = {im.name: (im.qvec, im.tvec)
+           for im in rec.images.values() if im.registered}
+    out = evaluate_poses(est, gt_poses, thresholds)
+    return {k: v for k, v in out.items() if k.startswith("auc@")}

@@ -642,11 +642,14 @@ class IncrementalMapper:
         UV = np.zeros((n_pad, V, 2), np.float32)
         M = np.zeros((n_pad, V), bool)
         for r, pid in enumerate(pids):
-            for v, (img_id, kpt) in enumerate(rec.points[pid]["track"][:V]):
-                im = rec.images[img_id]
+            v = 0
+            for img_id, kpt in rec.points[pid]["track"]:
+                if img_id not in P_of or v >= V:  # unregistered obs: skip
+                    continue
                 Pm[r, v] = P_of[img_id]
-                UV[r, v] = im.xys[kpt]
+                UV[r, v] = rec.images[img_id].xys[kpt]
                 M[r, v] = True
+                v += 1
         X, ok = triangulate_dlt(jnp.asarray(Pm), jnp.asarray(UV), jnp.asarray(M))
         X = np.asarray(X, np.float64)
         ok = np.asarray(ok)

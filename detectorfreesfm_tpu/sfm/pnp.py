@@ -173,16 +173,10 @@ def _p3p_candidates(X: jax.Array, x: jax.Array):
         dEn = jnp.where(jnp.abs(dEn) < 1e-12, 1e-12, dEn)
         v = v - _eval(E, v) / dEn
 
-    # Back-substitute each root
-    def eval_poly(p, vv):
-        out = jnp.zeros_like(vv)
-        for k in range(p.shape[-1] - 1, -1, -1):
-            out = out * vv + p[..., k : k + 1]
-        return out
-
-    Dn = eval_poly(D, v)
+    # Back-substitute each root (same Horner evaluator as the polish above)
+    Dn = _eval(D, v)
     Dn = jnp.where(jnp.abs(Dn) < 1e-10, 1e-10, Dn)
-    u = eval_poly(N, v) / Dn                                        # (..., 4)
+    u = _eval(N, v) / Dn                                            # (..., 4)
     s1sq_den = 1.0 + v * v - 2.0 * v * cb[..., None]
     s1 = jnp.sqrt(b2s[..., None] / jnp.where(s1sq_den < 1e-12, 1e-12, s1sq_den))
     s2 = u * s1
@@ -191,6 +185,40 @@ def _p3p_candidates(X: jax.Array, x: jax.Array):
         real_ok & (s1 > 1e-9) & (s2 > 1e-9) & (s3 > 1e-9)
         & (s1sq_den > 1e-12) & jnp.isfinite(s1 + s2 + s3)
     )
+
+    # Newton-polish the depths on the law-of-cosines residuals directly.
+    # The quartic coefficients are products of f32 inputs, so its root (and
+    # everything derived from it) carries ~1e-3 relative rounding -> ~1 deg
+    # pose error on some geometries; the residuals below are computed from
+    # the raw data, so a few quadratic steps reach the f32 floor.
+    caa = ca[..., None]
+    cbb = cb[..., None]
+    cgg = cg[..., None]
+    a2e = a2[..., None]
+    b2e = b2s[..., None]
+    c2e = c2[..., None]
+    for _ in range(4):
+        g = jnp.stack([
+            s2 * s2 + s3 * s3 - 2.0 * s2 * s3 * caa - a2e,
+            s1 * s1 + s3 * s3 - 2.0 * s1 * s3 * cbb - b2e,
+            s1 * s1 + s2 * s2 - 2.0 * s1 * s2 * cgg - c2e,
+        ], axis=-1)                                          # (..., 4, 3)
+        zero = jnp.zeros_like(s1)
+        J = jnp.stack([
+            jnp.stack([zero, 2.0 * (s2 - s3 * caa),
+                       2.0 * (s3 - s2 * caa)], axis=-1),
+            jnp.stack([2.0 * (s1 - s3 * cbb), zero,
+                       2.0 * (s3 - s1 * cbb)], axis=-1),
+            jnp.stack([2.0 * (s1 - s2 * cgg),
+                       2.0 * (s2 - s1 * cgg), zero], axis=-1),
+        ], axis=-2)                                          # (..., 4, 3, 3)
+        ridge = 1e-9 * jnp.eye(3, dtype=J.dtype)
+        delta = jnp.linalg.solve(J + ridge, g[..., None])[..., 0]
+        ok_step = jnp.isfinite(delta).all(axis=-1, keepdims=False)
+        s1 = jnp.where(ok_step, s1 - delta[..., 0], s1)
+        s2 = jnp.where(ok_step, s2 - delta[..., 1], s2)
+        s3 = jnp.where(ok_step, s3 - delta[..., 2], s3)
+    valid = valid & (s1 > 1e-9) & (s2 > 1e-9) & (s3 > 1e-9)
 
     # Camera-frame points Y_i = s_i f_i; absolute orientation (Horn/SVD)
     Y = jnp.stack(

@@ -37,11 +37,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
+            # Temp + atomic rename: see data/images.py::_load_native_loader.
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", so, src],
+                 "-o", tmp, src],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.uf_build.argtypes = [
             ctypes.c_int64,

@@ -68,6 +68,13 @@ bool decode_png(const uint8_t* data, size_t n, std::vector<uint8_t>& gray,
   std::memset(&img, 0, sizeof(img));
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&img, data, n)) return false;
+  // Alpha / 16-bit PNGs: bail to the PIL path. libpng would composite the
+  // alpha channel (PIL ignores it) and rescale 16-bit differently -> up to
+  // ~0.9 pixel divergence; parity only holds for 8-bit opaque images.
+  if (img.format & (PNG_FORMAT_FLAG_ALPHA | PNG_FORMAT_FLAG_LINEAR)) {
+    png_image_free(&img);
+    return false;
+  }
   // Decode RGB and convert with PIL's ITU-R 601 fixed-point luma
   // ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16). libpng's own GRAY
   // format uses BT.709 weights and diverges from the PIL path by >0.1.

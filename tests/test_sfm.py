@@ -91,9 +91,8 @@ def test_p3p_minimal_exact():
     noise-free minimal data (quartic solved by the Durand-Kerner sweep)."""
     from detectorfreesfm_tpu.sfm.pnp import _p3p_candidates
 
-    rng = np.random.default_rng(7)
     for trial in range(5):
-        pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=1, n_pts=3)
+        pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=1, n_pts=3, seed=trial)
         x = normalize_points(jnp.asarray(uvs[0]), jnp.asarray(K))
         R_c, t_c, valid = _p3p_candidates(
             jnp.asarray(pts)[None], x[None]
