@@ -42,19 +42,34 @@ def linear_attention(
     Returns: (B, L, H, D), same dtype as v.
     """
     dtype = v.dtype
-    Q = _elu_feature(q.astype(jnp.float32))
-    K = _elu_feature(k.astype(jnp.float32))
-    V = v.astype(jnp.float32)
+    # Feature maps stay in the compute dtype (bf16 on TPU): the (B, N, H, D)
+    # tensors are the bandwidth cost at 40k tokens, and every contraction
+    # below accumulates in fp32 on the MXU (preferred_element_type), which is
+    # where long-sequence precision actually lives. fp32 inputs are computed
+    # fully in fp32, exactly as before.
+    Q = _elu_feature(q)
+    K = _elu_feature(k)
     if q_mask is not None:
         Q = Q * q_mask[:, :, None, None].astype(Q.dtype)
     if kv_mask is not None:
         K = K * kv_mask[:, :, None, None].astype(K.dtype)
     # Stabilize the K^T V contraction for long sequences
-    v_scale = 1.0 / jnp.asarray(max(1, k.shape[1]), jnp.float32)
-    KV = jnp.einsum("bshd,bshe->bhde", K, V * v_scale)
-    Z = 1.0 / (jnp.einsum("blhd,bhd->blh", Q, jnp.sum(K, axis=1)) * v_scale + eps)
-    out = jnp.einsum("blhd,bhde,blh->blhe", Q, KV, Z)
-    return out.astype(dtype)
+    v_scale = 1.0 / float(max(1, k.shape[1]))
+    KV = jnp.einsum(
+        "bshd,bshe->bhde", K, v * jnp.asarray(v_scale, v.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    k_sum = jnp.sum(K, axis=1, dtype=jnp.float32)  # (B, H, D)
+    denom = jnp.einsum(
+        "blhd,bhd->blh", Q, k_sum.astype(Q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    Z = 1.0 / (denom * v_scale + eps)              # (B, L, H) fp32
+    out = jnp.einsum(
+        "blhd,bhde->blhe", Q, KV.astype(Q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (out * Z[..., None]).astype(dtype)
 
 
 def full_attention(

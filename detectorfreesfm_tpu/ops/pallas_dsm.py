@@ -73,7 +73,12 @@ def _pass1_kernel(
 
     z = _sim_tile(f0_ref[:], f1_ref[:], m0_ref, m1_ref)
 
-    # Row running logsumexp
+    # Two (TL, TS) exps per tile, one per softmax direction, each shifted by
+    # its own running max. The shifts CANNOT be shared: post-transformer
+    # logit spreads exceed fp32's ~87-decade exp range, so a rank-1 rescale
+    # from a common tile shift (tried: sum_l e·exp(m_loc-t)·exp(t-cm))
+    # silently flushes whole columns to zero. Independent row/col shifts are
+    # exactly what keeps the dense path exact at any spread.
     m_old = row_m_ref[0, :]
     m_new = jnp.maximum(m_old, jnp.max(z, axis=1))
     row_s_ref[0, :] = row_s_ref[0, :] * jnp.exp(m_old - m_new) + jnp.sum(
@@ -172,8 +177,8 @@ def dual_softmax_stats(
     mask0: jax.Array,   # (L,) bool
     mask1: jax.Array,   # (S,) bool
     temperature: float = 0.1,
-    tile_l: int = 256,
-    tile_s: int = 512,
+    tile_l: int = 512,
+    tile_s: int = 2048,
     interpret: bool = False,
 ):
     """Returns (lse_r (L,), lse_c (S,), row_max_adj (L,), row_arg (L,),
