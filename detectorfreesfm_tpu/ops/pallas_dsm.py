@@ -262,14 +262,20 @@ def fused_extract_matches(
     threshold: float,
     k: int,
     temperature: float = 0.1,
+    tile_l: int = 512,
+    tile_s: int = 2048,
     interpret: bool = False,
 ):
-    """Fused replacement for dual_softmax_confidence + extract_topk_matches."""
+    """Fused replacement for dual_softmax_confidence + extract_topk_matches.
+
+    tile_l/tile_s are plumbed through to dual_softmax_stats so chips with a
+    smaller VMEM budget can override the defaults (tuned on v5e)."""
     from .dual_softmax import CoarseMatches
 
     stats = jax.vmap(
         lambda a, b, ma, mb: dual_softmax_stats(
-            a, b, ma, mb, temperature=temperature, interpret=interpret
+            a, b, ma, mb, temperature=temperature,
+            tile_l=tile_l, tile_s=tile_s, interpret=interpret
         )
     )(feat0, feat1, mask0, mask1)
     lse_r, _lse_c, row_max_adj, row_arg, _col_max_adj, col_arg = stats

@@ -290,8 +290,9 @@ def reconstruct_scene(
         export_reconstruction_ply(
             rec, os.path.join(refined_dir, "cameras_points.ply")
         )
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — vis export is best-effort,
+        # but a failure must be visible (VERDICT r2 weak #7)
+        print(f"warning: camera/points PLY export failed: {e!r}")
     return rec
 
 

@@ -61,6 +61,10 @@ class RefineConfig:
     rereg_abs_pose_max_error: float = 20.0  # reference reregistration.py:37
     rereg_min_num_inliers: int = 15
     rereg_min_inlier_ratio: float = 0.1
+    # Refinement with freshly-initialized (random) refiner weights only
+    # perturbs keypoints and relies on the filter to claw back — never what
+    # a user wants in production. Tests/bootstrap opt in explicitly.
+    allow_random_weights: bool = False
     compute_dtype: str = "float32"
     save_iters_to: str | None = None  # write model_refined_{i}/ per iteration
                                       # (reference post_optimization artifact)
@@ -105,6 +109,15 @@ def refine_reconstruction(
     import copy
 
     from ..utils.profiler import PassThroughProfiler
+
+    if params is None and not cfg.allow_random_weights:
+        raise ValueError(
+            "refine_reconstruction called without refiner weights: pass "
+            "params=<trained MultiviewRefiner params> (e.g. "
+            "weights/demo_refiner_r2_bf16.msgpack via --refiner-ckpt), or "
+            "opt in to random weights with "
+            "RefineConfig(allow_random_weights=True)."
+        )
 
     profiler = PassThroughProfiler()
     rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -99,11 +99,28 @@ class IncrementalMapper:
 
     def __init__(self, cfg: MapperConfig = MapperConfig()):
         self.cfg = cfg
-        self._rng = jax.random.PRNGKey(cfg.seed)
 
-    def _next_rng(self):
-        self._rng, k = jax.random.split(self._rng)
-        return k
+    def _stable_rngs(self, entries) -> np.ndarray:
+        """(n, 2) uint32 PRNG keys derived from stable content hashes.
+
+        RANSAC outcomes must be invariant to device count / chunking / visit
+        order (VERDICT r2 #4): a sequential key stream makes every pair's
+        randomness depend on how many RANSAC calls preceded it, which varies
+        with mesh-size-dependent batching. Instead each entity (pair name
+        tuple, image name, ...) hashes to its own key, so the same scene
+        verifies identically at 1, 2, or 8 devices."""
+        import zlib
+
+        salt = (self.cfg.seed * 2654435761) & 0xFFFFFFFF
+        out = np.empty((len(entries), 2), np.uint32)
+        for i, parts in enumerate(entries):
+            s = "|".join(str(p) for p in parts).encode()
+            out[i, 0] = zlib.crc32(s) ^ salt
+            out[i, 1] = zlib.crc32(b"\x9e" + s)
+        return out
+
+    def _stable_rng(self, *parts) -> jax.Array:
+        return jnp.asarray(self._stable_rngs([parts])[0])
 
     # -- setup -----------------------------------------------------------------
 
@@ -210,7 +227,14 @@ class IncrementalMapper:
                     x1b[r, : len(m)] = x1 / fac
                     maskb[r, : len(m)] = True
                     thrb[r] = cfg.geometry_verify_thr / (f_mean * fac)
-                rngs = jax.random.split(self._next_rng(), b_chunk)
+                # Per-pair content-hash keys: verification is invariant to
+                # chunk composition and device count (VERDICT r2 #4)
+                rngs_np = np.zeros((b_chunk, 2), np.uint32)
+                rngs_np[:B] = self._stable_rngs(
+                    [("verify", jobs[j][0], jobs[j][1], fi)
+                     for (j, fi) in chunk]
+                )
+                rngs = jnp.asarray(rngs_np)
                 res = estimate_relative_pose_batch(
                     jnp.asarray(x0b), jnp.asarray(x1b), jnp.asarray(maskb),
                     rngs, jnp.asarray(thrb),
@@ -280,7 +304,11 @@ class IncrementalMapper:
                         x1b[r, : len(m)] = x1 / fac
                         maskb[r, : len(m)] = True
                         thrb[r] = cfg.geometry_verify_thr / (f_mean * fac)
-                    rngs = jax.random.split(self._next_rng(), b_chunk)
+                    rngs_np = np.zeros((b_chunk, 2), np.uint32)
+                    rngs_np[: len(chunk)] = self._stable_rngs(
+                        [("homog", jobs[j][0], jobs[j][1]) for j in chunk]
+                    )
+                    rngs = jnp.asarray(rngs_np)
                     resh = estimate_homography_batch(
                         jnp.asarray(x0b), jnp.asarray(x1b), jnp.asarray(maskb),
                         rngs, jnp.asarray(thrb), n_hypotheses=n_hyp_h,
@@ -325,7 +353,8 @@ class IncrementalMapper:
 
             hres = estimate_homography(
                 jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
-                self._next_rng(), threshold=threshold_px / f_mean,
+                self._stable_rng("init_h", ia, ib, len(m)),
+                threshold=threshold_px / f_mean,
                 n_hypotheses=self.cfg.ransac_hypotheses,
             )
             R, t, _n = decompose_homography(
@@ -335,7 +364,8 @@ class IncrementalMapper:
                     np.asarray(t, np.float64), int(hres.n_inliers))
         res = estimate_relative_pose(
             jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(mask),
-            self._next_rng(), threshold=threshold_px / f_mean,
+            self._stable_rng("init_e", ia, ib, len(m)),
+            threshold=threshold_px / f_mean,
             n_hypotheses=self.cfg.ransac_hypotheses,
         )
         return (np.asarray(res.qvec, np.float64),
@@ -535,7 +565,12 @@ class IncrementalMapper:
             xp[fi, :n] = x_norm / fac
             maskb[fi, :n] = True
             thr[fi] = max_err / (f_mean * fac)
-        rngs = jax.random.split(self._next_rng(), nf)
+        # Content-hash keys: registration outcome depends on the image and
+        # its current 2D-3D set, not on how many RANSAC calls preceded it
+        # (n varies between retries, so retries resample).
+        rngs = jnp.asarray(self._stable_rngs(
+            [("register", im.name, n, fi) for fi in range(nf)]
+        ))
         res = estimate_absolute_pose_batch(
             jnp.asarray(Xp), jnp.asarray(xp), jnp.asarray(maskb),
             rngs, jnp.asarray(thr),

@@ -63,13 +63,13 @@ def test_demo_scene_832_reconstructs_fully():
 
     Pins the dense focal-grid uncalibrated registration (sfm/mapper.py) and
     the relaxed second-chance pass against real wide-baseline data. Observed:
-    8/8, 1376 points, 2.76 px mean reprojection (coarse only; the full
+    8/8, 1508 points, 2.82 px mean reprojection (coarse only; the full
     pipeline with refinement lands at 1.26 px).
 
-    Runs in a SINGLE-device CPU subprocess: mesh-sharded verification pads
-    pair batches by device count, which perturbs RANSAC sampling enough to
-    land this borderline scene at 7/8 under the suite's 8-virtual-device
-    platform. Production runs are 1 device per process; pin that."""
+    Runs in a CPU subprocess at the suite's 8 virtual devices: since the
+    content-hash RANSAC keys (sfm/mapper.py::_stable_rngs, round 3) the
+    outcome is device-count invariant — the former single-device pin is
+    gone (tests/test_ransac_invariance.py proves 1 == 2 == 8 devices)."""
     import json
     import subprocess
     import sys
@@ -80,7 +80,7 @@ def test_demo_scene_832_reconstructs_fully():
         "PYTHONPATH": repo,           # drop the axon sitecustomize dir
         "PALLAS_AXON_POOL_IPS": "",
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "",              # 1 device, not the suite's 8
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
     })
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__),

@@ -22,6 +22,32 @@ def test_linear_attention_matches_full_for_uniform():
     np.testing.assert_allclose(np.asarray(out_full), np.broadcast_to(np.asarray(v), out_full.shape), atol=1e-4)
 
 
+def test_linear_attention_bf16_matches_fp32_long_sequence():
+    # The bf16 path (bf16 feature maps, fp32 MXU accumulation) must agree
+    # with the fp32 path at a realistic coarse-map sequence length.
+    # ADVICE r2 #1: the changed TPU numerics were untested.
+    rng = np.random.default_rng(7)
+    L = 4096
+    q = rng.normal(size=(1, L, 4, 16)).astype(np.float32)
+    k = rng.normal(size=(1, L, 4, 16)).astype(np.float32)
+    v = rng.normal(size=(1, L, 4, 16)).astype(np.float32)
+    mask = np.ones((1, L), bool)
+    mask[:, -100:] = False
+    out32 = np.asarray(A.linear_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        q_mask=jnp.asarray(mask), kv_mask=jnp.asarray(mask)))
+    out16 = np.asarray(A.linear_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16),
+        q_mask=jnp.asarray(mask), kv_mask=jnp.asarray(mask)
+    ).astype(jnp.float32))
+    # bf16 inputs carry ~3 decimal digits; outputs are O(0.1) after the
+    # normalizing Z, so absolute 2e-2 / relative ~2% is the honest budget.
+    err = np.abs(out16 - out32)
+    assert np.median(err) < 5e-3
+    assert err.max() < 5e-2
+
+
 def test_full_attention_mask():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(1, 3, 2, 4)), jnp.float32)

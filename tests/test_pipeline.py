@@ -60,7 +60,8 @@ def test_pipeline_from_cached_matches(tmp_path):
         n_refine_iters=1,
         mapper=MapperConfig(abs_pose_min_num_inliers=15),
         refine=RefineConfig(
-            windows=(9,), chunk_tracks=128, filter_thresholds=(8.0,)
+            windows=(9,), chunk_tracks=128, filter_thresholds=(8.0,),
+            allow_random_weights=True,
         ),
     )
     rec = reconstruct_scene(

@@ -82,6 +82,7 @@ def test_refine_loop_smoke():
     cfg = RefineConfig(
         n_iters=2, windows=(9, 7), chunk_tracks=128,
         filter_thresholds=(8.0, 8.0),  # loose: untrained net jitters coords
+        allow_random_weights=True,
     )
     out = refine_reconstruction(rec, images, cfg=cfg, mapper=mapper)
     assert out is rec
@@ -131,7 +132,8 @@ def test_refine_loop_failure_fallback(monkeypatch):
         raise RuntimeError("BA exploded")
 
     monkeypatch.setattr(mapper, "global_ba", boom)
-    cfg = RefineConfig(n_iters=2, windows=(7,), chunk_tracks=128)
+    cfg = RefineConfig(n_iters=2, windows=(7,), chunk_tracks=128,
+                       allow_random_weights=True)
     out = refine_reconstruction(rec, images, cfg=cfg, mapper=mapper)
     assert out is rec
     assert set(rec.points) == set(pts_before)

@@ -41,6 +41,14 @@ def main() -> int:
                          " photo-textured plane (homography-class pairs —"
                          " the self-supervised objective expressed as posed"
                          " RGBD, so one trainer consumes both)")
+    ap.add_argument("--hard-frac", type=float, default=0.0,
+                    help="fraction of train scenes rendered with a harder"
+                         " viewpoint distribution: wider baseline, stronger"
+                         " scale change, in-plane roll — the round-2 eval"
+                         " failure modes")
+    ap.add_argument("--n-hard-eval-scenes", type=int, default=0,
+                    help="extra eval scenes drawn from the hard distribution"
+                         " (written as eval/scene_1###)")
     args = ap.parse_args()
 
     photos = []
@@ -66,20 +74,37 @@ def main() -> int:
         baseline=1.3, texture_size=1536, photo_texture_prob=1.0,
         background_half=7.0,
     )
+    # Hard scenes: wider baseline + stronger per-view scale change + roll.
+    # Matches the failure modes of round-2 eval scenes 0001/0002 (18-36 px
+    # median epipolar error under harder viewpoint change, RESULTS_r02.md).
+    hard_cfg = dataclasses.replace(
+        cfg, baseline=3.2, depth_range=(3.5, 9.5), n_planes=8,
+        focal_range=(0.75, 2.0), up_jitter=0.12, roll_range=0.35,
+        eye_z_range=(-1.6, 2.2),
+    )
     n_planar = int(round(args.n_scenes * args.planar_frac))
+    n_hard = int(round(args.n_scenes * args.hard_frac))
     train_dir = os.path.join(args.out, "train")
     os.makedirs(train_dir, exist_ok=True)
     for i in range(args.n_scenes):
         t0 = time.time()
-        c = planar_cfg if i < n_planar else cfg
+        if i < n_planar:
+            c, kind = planar_cfg, "planar"
+        elif i < n_planar + n_hard:
+            c, kind = hard_cfg, "hard"
+        else:
+            c, kind = cfg, "multi"
         p = write_scene(train_dir, f"scene_{i:04d}", args.seed + i, c)
-        kind = "planar" if i < n_planar else "multi"
         print(f"[{i + 1}/{args.n_scenes}] {p} ({kind}, "
               f"{time.time() - t0:.1f}s)", flush=True)
     for i in range(args.n_eval_scenes):
         d = os.path.join(args.out, "eval", f"scene_{i:04d}")
         write_scene_eval_layout(d, args.seed + 10_000 + i, cfg)
         print(f"eval scene {d}", flush=True)
+    for i in range(args.n_hard_eval_scenes):
+        d = os.path.join(args.out, "eval", f"scene_{1000 + i:04d}")
+        write_scene_eval_layout(d, args.seed + 20_000 + i, hard_cfg)
+        print(f"hard eval scene {d}", flush=True)
     return 0
 
 

@@ -63,7 +63,7 @@ def main():
     # --- stage 1: backbone over both images (2B batch)
     bb = ResNetFPN_8_2(dtype=cfg.dtype)
     bb_params = {
-        col: {"backbone": params[col]["backbone"]}["backbone"]
+        col: params[col]["backbone"]
         for col in params if "backbone" in params[col]
     }
     both = jnp.concatenate([img0, img1], axis=0).astype(cfg.dtype)
