@@ -93,6 +93,8 @@ def _run_scene(args) -> dict:
     cfg = PipelineConfig(
         img_resize=args.img_resize,
         match_threshold=args.match_threshold,
+        match_type=getattr(args, "match_type", "coarse_only"),
+        round_matches_ratio=getattr(args, "round_matches_ratio", None),
         n_refine_iters=args.refine_iters,
         refine=RefineConfig(**refine_kw),
         triangulation_mode=args.triangulation,
@@ -321,7 +323,10 @@ def cmd_train_matcher(args) -> int:
     )
     cfg = MatcherTrainConfig(
         arch=getattr(args, "arch", "loftr"),
-        matcher=MatcherConfig(compute_dtype=args.dtype_train),
+        matcher=MatcherConfig(
+            compute_dtype=args.dtype_train,
+            fine_enabled=bool(getattr(args, "fine", False)),
+        ),
         optim=OptimConfig(
             true_batch_size=args.batch_size * jax.process_count(),
             backbone_path="backbone",
@@ -396,6 +401,17 @@ def main(argv=None) -> int:
     def add_common(sp):
         sp.add_argument("--output", required=True)
         sp.add_argument("--img-resize", type=int, default=832, dest="img_resize")
+        sp.add_argument("--match-type", default="coarse_only",
+                        choices=("coarse_only", "coarse_fine"),
+                        dest="match_type",
+                        help="coarse_fine runs the sub-pixel fine stage and "
+                             "rounds matches to a 4px grid (the reference's "
+                             "TexturePoorSfM protocol; needs a checkpoint "
+                             "trained with --fine)")
+        sp.add_argument("--round-matches-ratio", type=int, default=None,
+                        dest="round_matches_ratio",
+                        help="quantize match coords to an N-px grid before "
+                             "keypoint merge (reference round_matches_ratio)")
         sp.add_argument("--match-threshold", type=float, default=0.2,
                         dest="match_threshold")
         sp.add_argument("--refine-iters", type=int, default=2, dest="refine_iters")
@@ -483,6 +499,10 @@ def main(argv=None) -> int:
     sm.add_argument("--init-ckpt", default=None, dest="init_ckpt",
                     help="warm-start from a previous checkpoint")
     sm.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    sm.add_argument("--fine", action="store_true",
+                    help="jointly train the fine sub-pixel stage "
+                         "(teacher-forced at GT coarse cells; needed for "
+                         "--match-type coarse_fine at inference)")
     sm.add_argument("--arch", default="loftr",
                     choices=["loftr", "aspan", "matchformer"],
                     help="matcher family to train")

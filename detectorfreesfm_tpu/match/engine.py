@@ -36,6 +36,11 @@ class EngineConfig:
     round_matches_ratio: Optional[int] = None  # quantize coords to N-px grid
     compute_dtype: str = "float32"
     fused_matching: bool = False  # Pallas fused dual-softmax (TPU runs)
+    # coarse_fine match type (reference TexturePoorSfM protocol,
+    # hydra_configs/texturepoor_sfm/dfsfm.yaml:28-49): run the sub-pixel fine
+    # stage on every coarse match; combine with round_matches_ratio (ref.
+    # runs ratio 4) so refined endpoints still merge into shared keypoints.
+    fine_enabled: bool = False
 
     def matcher_config(self) -> MatcherConfig:
         return MatcherConfig(
@@ -43,6 +48,7 @@ class EngineConfig:
             max_matches=self.max_matches,
             compute_dtype=self.compute_dtype,
             fused_matching=self.fused_matching,
+            fine_enabled=self.fine_enabled,
         )
 
 

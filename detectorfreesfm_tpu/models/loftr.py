@@ -52,9 +52,10 @@ class MatcherConfig:
     # never materializes the (L, S) conf matrix in HBM. TPU-only (tests use
     # the dense path or interpret mode); training needs the dense conf anyway.
     fused_matching: bool = False
-    # Pallas kernel tiles (VMEM budget knobs — defaults tuned on v5e;
-    # override for chips with less VMEM. ADVICE r2 #2.)
-    dsm_tile_l: int = 512
+    # Pallas kernel tiles (VMEM budget knobs — defaults tuned on v5e via
+    # tools/sweep_dsm_tiles.py; override for chips with less VMEM.
+    # ADVICE r2 #2.)
+    dsm_tile_l: int = 1024
     dsm_tile_s: int = 2048
 
     @property
@@ -137,6 +138,10 @@ class DetectorFreeMatcher(nn.Module):
         valid_hw1=None,
         train: bool = False,
         return_conf: bool = False,  # also return the dense (B, L, S) conf
+        fine_at=None,  # teacher-forced (idx0, idx1) int (B, Kf) coarse cells:
+                       # run the fine stage at THESE matches and also return
+                       # (delta, std) — the fine-training path (the reference
+                       # trains LoFTR fine on GT coarse assignments)
     ) -> MatchOutput:
         cfg = self.cfg
         b, h, wd = image0.shape[:3]
@@ -202,12 +207,27 @@ class DetectorFreeMatcher(nn.Module):
 
         xy0 = to_xy(matches.idx0)
         xy1 = to_xy(matches.idx1)
+        fine_mod = None
+        if cfg.fine_enabled or fine_at is not None:
+            fine_mod = FinePreprocessAndMatch(cfg, name="fine_match")
         if cfg.fine_enabled:
-            delta, _std = FinePreprocessAndMatch(cfg, name="fine_match")(
-                f0, f1, matches, (h8, w8)
-            )
+            delta, _std = fine_mod(f0, f1, matches, (h8, w8))
             xy1 = xy1 + delta
         out = MatchOutput(xy0, xy1, matches.conf, matches.valid)
+        if fine_at is not None:
+            # Teacher-forced fine pass at GT coarse cells (training): the
+            # fine params are the SAME module instance as the inference
+            # branch above, so a jointly-trained checkpoint serves both.
+            t_idx0, t_idx1 = fine_at
+            teacher = CoarseMatches(
+                idx0=t_idx0, idx1=t_idx1,
+                conf=jnp.ones(t_idx0.shape, jnp.float32),
+                valid=jnp.ones(t_idx0.shape, bool),
+            )
+            t_delta, t_std = fine_mod(f0, f1, teacher, (h8, w8))
+            if return_conf:
+                return out, conf, (t_delta, t_std)
+            return out, (t_delta, t_std)
         if return_conf:
             return out, conf
         return out

@@ -47,6 +47,9 @@ class PipelineConfig:
     batch_size: int = 1
     compute_dtype: str = "float32"
     fused_matching: bool = False
+    # "coarse_only" (default) or "coarse_fine" (sub-pixel fine stage; the
+    # reference's TexturePoorSfM protocol pairs it with round ratio 4)
+    match_type: str = "coarse_only"
     # sfm
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
     # refinement
@@ -61,6 +64,23 @@ class PipelineConfig:
     redo_refine: bool = False
     triangulation_mode: bool = False
     n_images: Optional[int] = None  # debug clamp (reference base.yaml:33)
+    def engine_config(self) -> EngineConfig:
+        fine = self.match_type == "coarse_fine"
+        round_ratio = self.round_matches_ratio
+        if fine and round_ratio is None:
+            # Fine endpoints are continuous; tracks need shared keypoints.
+            # The reference's coarse_fine protocol rounds to a 4px grid
+            # (texturepoor_sfm/dfsfm.yaml round_matches_ratio: 4).
+            round_ratio = 4
+        return EngineConfig(
+            img_resize=self.img_resize, match_threshold=self.match_threshold,
+            max_matches=self.max_matches, batch_size=self.batch_size,
+            round_matches_ratio=round_ratio,
+            compute_dtype=self.compute_dtype,
+            fused_matching=self.fused_matching,
+            fine_enabled=fine,
+        )
+
     # Detector-free keypoints live on an 8px grid at *network* resolution;
     # mapper thresholds are original-resolution pixels. When images are much
     # larger than img_resize, a grid cell spans many original pixels and
@@ -113,13 +133,7 @@ def _match_stage(
         return {k: v for k, v in kps.items()}, matches
 
     if engine is None:
-        engine = PairMatchingEngine(EngineConfig(
-            img_resize=cfg.img_resize, match_threshold=cfg.match_threshold,
-            max_matches=cfg.max_matches, batch_size=cfg.batch_size,
-            round_matches_ratio=cfg.round_matches_ratio,
-            compute_dtype=cfg.compute_dtype,
-            fused_matching=cfg.fused_matching,
-        ))
+        engine = PairMatchingEngine(cfg.engine_config())
     pairs = (
         exhaustive_pairs(names) if cfg.pair_mode == "exhaustive"
         else sequential_pairs(names, cfg.sequential_window)
@@ -162,13 +176,9 @@ def reconstruct_scene(
 
     engine = None
     if matcher_params is not None:
-        engine = PairMatchingEngine(EngineConfig(
-            img_resize=cfg.img_resize, match_threshold=cfg.match_threshold,
-            max_matches=cfg.max_matches, batch_size=cfg.batch_size,
-            round_matches_ratio=cfg.round_matches_ratio,
-            compute_dtype=cfg.compute_dtype,
-            fused_matching=cfg.fused_matching,
-        ), params=matcher_params)
+        engine = PairMatchingEngine(
+            cfg.engine_config(), params=matcher_params
+        )
     keypoints, match_indices = _match_stage(
         cfg, image_dir, names, output_dir, engine
     )

@@ -83,4 +83,7 @@ def pair_cell_assignment(
     cell_x = jnp.clip((uv1[..., 0] // grid).astype(jnp.int32), 0, w8 - 1)
     cell_y = jnp.clip((uv1[..., 1] // grid).astype(jnp.int32), 0, h8 - 1)
     gt = cell_y * w8 + cell_x
-    return jnp.where(ok, gt, -1)
+    # Also return the CONTINUOUS warp target — the fine-stage GT (the
+    # reference's spvs_fine supervises the sub-cell residual of this warp,
+    # third_party/LoFTR/src/loftr/utils/supervision.py).
+    return jnp.where(ok, gt, -1), jnp.where(ok[:, None], uv1, 0.0)

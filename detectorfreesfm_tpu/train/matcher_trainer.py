@@ -20,7 +20,7 @@ from flax import serialization
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.loftr import DetectorFreeMatcher, MatcherConfig
-from .losses import coarse_focal_loss
+from .losses import coarse_focal_loss, fine_l2_std_loss
 from .matcher_supervision import pair_cell_assignment
 from .optimizers import OptimConfig, build_optimizer
 
@@ -32,6 +32,12 @@ class MatcherTrainConfig:
     optim: OptimConfig = OptimConfig(backbone_path="backbone")
     grid: int = 8
     seed: int = 66  # the reference's matcher-build seed
+    # Joint fine-stage training (matcher.fine_enabled=True): teacher-force
+    # the fine head at n_fine GT coarse cells per pair and supervise the
+    # sub-cell residual (LoFTR spvs_fine / fine loss,
+    # third_party/LoFTR/src/loftr/utils/supervision.py + losses/loftr_loss.py)
+    n_fine: int = 128
+    fine_loss_weight: float = 1.0
 
 
 class MatcherTrainState(NamedTuple):
@@ -76,11 +82,41 @@ class MatcherTrainer:
             jnp.zeros((), jnp.int32),
         )
 
-    def _loss_one(self, params, image0, image1, gt):
-        _, conf = self.model.apply(
-            params, image0[None], image1[None], return_conf=True, train=False
+    def _loss_one(self, params, image0, image1, gt, uv1):
+        if not self.cfg.matcher.fine_enabled:
+            _, conf = self.model.apply(
+                params, image0[None], image1[None], return_conf=True,
+                train=False
+            )
+            return coarse_focal_loss(conf, gt[None])
+        # Joint coarse+fine: teacher-force the fine head at n_fine GT cells.
+        # Deterministic multiplicative-hash tiebreak spreads the selection
+        # over the image instead of biasing to low row indices.
+        L = gt.shape[0]
+        w8 = image0.shape[1] // self.cfg.grid
+        valid = gt >= 0
+        idx = jnp.arange(L, dtype=jnp.uint32)
+        tie = ((idx * jnp.uint32(2654435761)) % 65536).astype(
+            jnp.float32) / 65536.0
+        kf = min(self.cfg.n_fine, L)
+        _, sel = jax.lax.top_k(valid.astype(jnp.float32) + tie, kf)
+        sel = sel.astype(jnp.int32)
+        idx0 = sel
+        idx1 = jnp.clip(gt[sel], 0)
+        _, conf, (delta, std) = self.model.apply(
+            params, image0[None], image1[None], return_conf=True,
+            train=False, fine_at=(idx0[None], idx1[None]),
         )
-        return coarse_focal_loss(conf, gt[None])
+        coarse = coarse_focal_loss(conf, gt[None])
+        # GT sub-cell residual, normalized by the fine half-window (4 px):
+        # cell coords are top-left * grid, exactly the model's to_xy
+        cell_xy1 = jnp.stack(
+            [(idx1 % w8).astype(jnp.float32) * self.cfg.grid,
+             (idx1 // w8).astype(jnp.float32) * self.cfg.grid], -1)
+        off = (uv1[sel] - cell_xy1) / 4.0
+        m = valid[sel] & (jnp.max(jnp.abs(off), axis=-1) < 1.0)
+        fine = fine_l2_std_loss(delta[0] / 4.0, off, std[0], m)
+        return coarse + self.cfg.fine_loss_weight * fine
 
     def _supervise(self, batch):
         """Depth-warp cell labels for a (padded) pair batch, computed on the
@@ -97,12 +133,12 @@ class MatcherTrainer:
 
             self._sup_fn = jax.jit(jax.vmap(gen), backend="cpu")
         with jax.default_device(jax.devices("cpu")[0]):
-            gt = self._sup_fn(*(
+            gt, uv1 = self._sup_fn(*(
                 jnp.asarray(np.asarray(batch[k]))
                 for k in ("depth0", "depth1", "K0", "K1",
                           "q0", "t0", "q1", "t1")
             ))
-        return np.asarray(gt)
+        return np.asarray(gt), np.asarray(uv1)
 
     def make_step(self):
         repl = NamedSharding(self.mesh, P())
@@ -111,8 +147,9 @@ class MatcherTrainer:
         def step_fn(state, batch, live):
             def loss_fn(p):
                 losses = jax.vmap(
-                    lambda a, b, g: self._loss_one(p, a, b, g)
-                )(batch["image0"], batch["image1"], batch["gt"])
+                    lambda a, b, g, u: self._loss_one(p, a, b, g, u)
+                )(batch["image0"], batch["image1"], batch["gt"],
+                  batch["uv1"])
                 return jnp.sum(losses * live) / jnp.maximum(jnp.sum(live), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -147,12 +184,13 @@ class MatcherTrainer:
             return np.concatenate([a, np.repeat(a[:1], n_pad - n, axis=0)])
 
         batch = {k: pad(v) for k, v in batch.items()}
-        gt = self._supervise(batch)  # host CPU labels
+        gt, uv1 = self._supervise(batch)  # host CPU labels
         data_sh = NamedSharding(self.mesh, P("data"))
         device_batch = {
             "image0": jax.device_put(jnp.asarray(batch["image0"]), data_sh),
             "image1": jax.device_put(jnp.asarray(batch["image1"]), data_sh),
             "gt": jax.device_put(jnp.asarray(gt), data_sh),
+            "uv1": jax.device_put(jnp.asarray(uv1), data_sh),
         }
         live = jax.device_put(jnp.asarray(live), data_sh)
         with self.mesh:
@@ -168,16 +206,41 @@ class MatcherTrainer:
             ))
 
     def load_params(self, path: str, template):
+        """Warm-start from a checkpoint, tolerating structure mismatch.
+
+        Accepts trainer ckpts ({params, step}) and selfsup bootstrap ckpts
+        ({params}); subtrees absent from the checkpoint (e.g. the fine_match
+        head when warm-starting a joint coarse+fine run from a coarse-only
+        checkpoint) keep their fresh initialization."""
         with open(path, "rb") as f:
             blob = f.read()
-        # Accept both trainer ckpts ({params, step}) and selfsup bootstrap
-        # ckpts ({params}) so --init-ckpt can warm-start from either.
-        for skeleton in ({"params": template, "step": 0}, {"params": template}):
-            try:
-                return serialization.from_bytes(skeleton, blob)["params"]
-            except (KeyError, ValueError):
-                continue
-        raise ValueError(f"unrecognized checkpoint structure: {path}")
+        raw = serialization.msgpack_restore(blob)
+        src = raw.get("params", raw)
+        missing = []
+
+        def merge(t, s, pathk=""):
+            if isinstance(t, dict):
+                out = {}
+                for k, v in t.items():
+                    if isinstance(s, dict) and k in s:
+                        out[k] = merge(v, s[k], f"{pathk}/{k}")
+                    else:
+                        missing.append(f"{pathk}/{k}")
+                        out[k] = v
+                return out
+            a = jnp.asarray(s)
+            if a.shape != jnp.shape(t):
+                raise ValueError(
+                    f"shape mismatch at {pathk}: ckpt {a.shape} vs "
+                    f"model {jnp.shape(t)}"
+                )
+            return a.astype(jnp.asarray(t).dtype)
+
+        merged = merge(template, src)
+        if missing:
+            print(f"warm-start: {len(missing)} fresh subtrees kept "
+                  f"(not in ckpt): {missing[:4]}{'...' if len(missing) > 4 else ''}")
+        return merged
 
 
 def tuple_to_pair_batch(tuples: list) -> dict:

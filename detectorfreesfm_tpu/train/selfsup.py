@@ -141,10 +141,37 @@ def load_matcher_params(path: str, img_size: int = 416,
 
 
 def _from_bytes_any(template, blob: bytes, path: str):
-    """Restore params from either {params} or {params, step} checkpoints."""
+    """Restore params from either {params} or {params, step} checkpoints.
+
+    Subtrees absent from the checkpoint (e.g. the fine_match head when a
+    coarse-only checkpoint is loaded into a fine_enabled model) keep the
+    template's fresh initialization — a loud warning is printed, since
+    matching with a random fine head degrades coordinates."""
     for skeleton in ({"params": template}, {"params": template, "step": 0}):
         try:
             return serialization.from_bytes(skeleton, blob)["params"]
         except (KeyError, ValueError):
             continue
+    raw = serialization.msgpack_restore(blob)
+    src = raw.get("params", raw)
+    missing = []
+
+    def merge(t, s, pathk=""):
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                if isinstance(s, dict) and k in s:
+                    out[k] = merge(v, s[k], f"{pathk}/{k}")
+                else:
+                    missing.append(f"{pathk}/{k}")
+                    out[k] = v
+            return out
+        return s
+
+    merged = merge(template, src)
+    if missing:
+        print(f"warning: checkpoint {path} lacks {len(missing)} subtrees "
+              f"(kept at random init): {missing[:4]}"
+              f"{'...' if len(missing) > 4 else ''}")
+        return merged
     raise ValueError(f"unrecognized checkpoint structure: {path}")

@@ -202,13 +202,18 @@ def test_pair_cell_assignment_planar():
     from detectorfreesfm_tpu.train.matcher_supervision import pair_cell_assignment
 
     tup = _planar_tuple(v=2, size=64)
-    gt = np.asarray(pair_cell_assignment(
+    gt, uv1 = pair_cell_assignment(
         jnp.asarray(tup["depths"][0]), jnp.asarray(tup["depths"][1]),
         jnp.asarray(tup["K"][0]), jnp.asarray(tup["K"][1]),
         jnp.asarray(tup["qvec"][0]), jnp.asarray(tup["tvec"][0]),
         jnp.asarray(tup["qvec"][1]), jnp.asarray(tup["tvec"][1]),
-    ))
+    )
+    gt, uv1 = np.asarray(gt), np.asarray(uv1)
     assert gt.shape == (64,)
+    # Continuous warp target lands inside its assigned cell
+    for cell in np.flatnonzero(gt >= 0)[:12]:
+        cx, cy = uv1[cell]
+        assert int(cy // 8) * 8 + int(cx // 8) == gt[cell]
     matched = gt >= 0
     assert matched.sum() > 10, matched.sum()
     K = tup["K"][0].astype(np.float64)
@@ -255,3 +260,51 @@ def test_matcher_trainer_step_reduces_loss():
     assert np.isfinite(losses).all()
     # Overfitting two fixed pairs must trend down (allow early oscillation)
     assert min(losses[5:]) < losses[0], losses
+
+
+def test_matcher_trainer_joint_fine(tmp_path):
+    """Joint coarse+fine training: fine params exist, the step is finite and
+    trends down, and a coarse-only checkpoint warm-starts with the fine head
+    kept at fresh init (partial load)."""
+    from detectorfreesfm_tpu.models.loftr import MatcherConfig
+    from detectorfreesfm_tpu.train.matcher_trainer import (
+        MatcherTrainConfig, MatcherTrainer, tuple_to_pair_batch,
+    )
+    from detectorfreesfm_tpu.train.optimizers import OptimConfig
+
+    batch = tuple_to_pair_batch(
+        [_planar_tuple(v=2, size=64, seed=s) for s in (0, 1)]
+    )
+    coarse_cfg = MatcherTrainConfig(
+        matcher=MatcherConfig(max_matches=32, border=1),
+        optim=OptimConfig(canonical_lr=5e-4, true_batch_size=2,
+                          scheduler="multistep", milestones=(1000,)),
+    )
+    coarse_tr = MatcherTrainer(coarse_cfg)
+    coarse_state = coarse_tr.init_state(batch)
+    ckpt = str(tmp_path / "coarse.msgpack")
+    coarse_tr.save_checkpoint(coarse_state, ckpt)
+
+    cfg = MatcherTrainConfig(
+        matcher=MatcherConfig(max_matches=32, border=1, fine_enabled=True),
+        optim=OptimConfig(canonical_lr=5e-4, true_batch_size=2,
+                          scheduler="multistep", milestones=(1000,)),
+        n_fine=16,
+    )
+    trainer = MatcherTrainer(cfg)
+    state = trainer.init_state(batch)
+    assert "fine_match" in state.params["params"], list(
+        state.params["params"])
+    # Warm-start from the coarse-only ckpt: shared subtrees load, fine stays
+    merged = trainer.load_params(ckpt, state.params)
+    bb_new = jax.tree_util.tree_leaves(merged["params"]["backbone"])[0]
+    bb_old = jax.tree_util.tree_leaves(
+        coarse_state.params["params"]["backbone"])[0]
+    np.testing.assert_array_equal(np.asarray(bb_new), np.asarray(bb_old))
+    state = state._replace(params=merged)
+    losses = []
+    for _ in range(8):
+        state, loss = trainer.train_step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert min(losses[4:]) < losses[0], losses
