@@ -348,3 +348,60 @@ def translation_angle_deg(t_a: jax.Array, t_b: jax.Array, eps: float = 1e-10) ->
     # Degenerate (near-zero) translations compare as 0 error only vs themselves
     both_zero = jnp.logical_and(na < eps, nb < eps)
     return jnp.where(both_zero, 0.0, ang)
+
+
+# -- radial distortion (SIMPLE_RADIAL, COLMAP model id 2) ---------------------
+# The reference's default camera model for ETH3D SfM is SIMPLE_RADIAL
+# (hydra_configs/eth3d_sfm/dfsfm.yaml:94) and its refinement dataset handles
+# it explicitly (src/post_optimization/utils/geometry_utils.py:30). Forward
+# model on NORMALIZED coords: x_d = x_u * (1 + k1 * r_u^2).
+
+
+def np_radial_distort(xn: "np.ndarray", k1: float) -> "np.ndarray":
+    """Distort normalized coords (..., 2): x_d = x_u (1 + k1 |x_u|^2)."""
+    import numpy as np
+
+    r2 = np.sum(xn * xn, axis=-1, keepdims=True)
+    return xn * (1.0 + k1 * r2)
+
+
+def np_radial_undistort(xd: "np.ndarray", k1: float,
+                        iters: int = 10) -> "np.ndarray":
+    """Invert the SIMPLE_RADIAL model by fixed-point iteration
+    x <- x_d / (1 + k1 |x|^2) (COLMAP IterativeUndistortion equivalent;
+    converges in a handful of iterations for |k1 r^2| < 0.5)."""
+    import numpy as np
+
+    if k1 == 0.0:
+        return xd
+    x = xd.copy()
+    for _ in range(iters):
+        r2 = np.sum(x * x, axis=-1, keepdims=True)
+        x = xd / (1.0 + k1 * r2)
+    return x
+
+
+def np_undistort_pixels(uv: "np.ndarray", K: "np.ndarray",
+                        k1: float) -> "np.ndarray":
+    """Undistort pixel observations through K (pinhole uv out)."""
+    import numpy as np
+
+    if k1 == 0.0:
+        return uv
+    f = np.array([K[0, 0], K[1, 1]])
+    c = np.array([K[0, 2], K[1, 2]])
+    xu = np_radial_undistort((uv - c) / f, k1)
+    return xu * f + c
+
+
+def np_distort_pixels(uv: "np.ndarray", K: "np.ndarray",
+                      k1: float) -> "np.ndarray":
+    """Distort ideal pinhole pixels through K (observed-space uv out)."""
+    import numpy as np
+
+    if k1 == 0.0:
+        return uv
+    f = np.array([K[0, 0], K[1, 1]])
+    c = np.array([K[0, 2], K[1, 2]])
+    xd = np_radial_distort((uv - c) / f, k1)
+    return xd * f + c

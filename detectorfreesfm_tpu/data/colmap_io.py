@@ -36,16 +36,58 @@ class Camera:
     def model_id(self) -> int:
         return CAMERA_MODEL_IDS[self.model]
 
+    # Single-focal models: params start [f, cx, cy, ...]
+    _SINGLE_F = ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
+                 "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE", "FOV")
+
     def K(self) -> np.ndarray:
         """3x3 intrinsics matrix (ignores distortion params)."""
         p = self.params
-        if self.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL",
-                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE", "FOV"):
+        if self.model in self._SINGLE_F:
             fx = fy = p[0]
             cx, cy = p[1], p[2]
         else:
             fx, fy, cx, cy = p[0], p[1], p[2], p[3]
         return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float64)
+
+    def k1(self) -> float:
+        """First radial distortion coefficient (0 for distortion-free
+        models). SIMPLE_RADIAL params: [f, cx, cy, k] — the reference's
+        default ETH3D camera model (hydra_configs/eth3d_sfm/dfsfm.yaml:94)."""
+        if self.model in ("SIMPLE_RADIAL", "RADIAL",
+                          "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            return float(self.params[3])
+        return 0.0
+
+    def set_k1(self, k: float):
+        if self.model not in ("SIMPLE_RADIAL", "RADIAL",
+                              "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+            raise ValueError(f"{self.model} has no radial k1")
+        self.params = self.params.copy()
+        self.params[3] = float(k)
+
+    def scale_focal(self, fac: float):
+        """Multiply the focal length(s) by fac, model-layout-aware."""
+        p = self.params.copy()
+        p[0] *= fac
+        if self.model not in self._SINGLE_F:
+            p[1] *= fac
+        self.params = p
+
+    def rescale(self, sx: float, sy: float):
+        """Rescale intrinsics for a resolution change by (sx, sy).
+        Distortion coefficients act on normalized coords — invariant."""
+        p = self.params.copy()
+        if self.model in self._SINGLE_F:
+            p[0] *= 0.5 * (sx + sy)
+            p[1] *= sx
+            p[2] *= sy
+        else:
+            p[0] *= sx
+            p[1] *= sy
+            p[2] *= sx
+            p[3] *= sy
+        self.params = p
 
 
 @dataclasses.dataclass

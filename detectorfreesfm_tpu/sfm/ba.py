@@ -39,7 +39,7 @@ import numpy as np
 from ..core.geometry import np_quat_to_rotmat, np_rotmat_to_quat, so3_exp
 from ..core.precision import with_highest_matmul_precision
 
-CAM_DOF = 7  # 3 rot + 3 trans + 1 log-focal
+CAM_DOF = 8  # 3 rot + 3 trans + 1 log-focal + 1 radial k1
 
 
 class BAProblem(NamedTuple):
@@ -47,7 +47,7 @@ class BAProblem(NamedTuple):
 
     cam_R: jax.Array        # (C, 3, 3) world->cam rotations
     cam_t: jax.Array        # (C, 3)
-    intr: jax.Array         # (C, 4) fx, fy, cx, cy
+    intr: jax.Array         # (C, 5) fx, fy, cx, cy, k1 (SIMPLE_RADIAL)
     points: jax.Array       # (P, 3)
     obs_uv: jax.Array       # (O, 2) pixel observations
     obs_cam: jax.Array      # (O,) int32
@@ -57,6 +57,7 @@ class BAProblem(NamedTuple):
     track_mask: jax.Array   # (P, T) bool
     fixed_cams: jax.Array   # (C,) bool — gauge-fixed camera blocks
     refine_focal: jax.Array # () bool
+    refine_dist: jax.Array  # () bool — refine the radial k1 column
 
 
 class BAState(NamedTuple):
@@ -68,22 +69,31 @@ class BAState(NamedTuple):
     cost: jax.Array  # current robust cost
 
 
-def _proj(R, t, f_scale, intr, X):
-    """Project one world point. f_scale multiplies (fx, fy)."""
+def _proj(R, t, f_scale, intr, X, dk=0.0):
+    """Project one world point with SIMPLE_RADIAL distortion.
+
+    f_scale multiplies (fx, fy); dk is a local additive update to the k1
+    stored in intr[4] (so jacfwd differentiates through it). The distorted-
+    space residual matches COLMAP/Ceres exactly: observed pixels are the
+    raw (distorted) measurements (src/post_optimization/utils/
+    geometry_utils.py:30 handles the same model on the reference side)."""
     Xc = R @ X + t
     z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
     x, y = Xc[0] / z, Xc[1] / z
+    k1 = intr[4] + dk
+    d = 1.0 + k1 * (x * x + y * y)
+    x, y = x * d, y * d
     fx, fy, cx, cy = intr[0] * f_scale, intr[1] * f_scale, intr[2], intr[3]
     return jnp.stack([fx * x + cx, fy * y + cy]), Xc[2]
 
 
 def _obs_residual(delta_cam, delta_pt, R0, t0, intr0, X0, uv):
-    """Residual as a function of the *local* update (7,) ⊕ (3,)."""
+    """Residual as a function of the *local* update (8,) ⊕ (3,)."""
     w, dt, dlf = delta_cam[:3], delta_cam[3:6], delta_cam[6]
     R = so3_exp(w) @ R0
     t = t0 + dt
     f_scale = jnp.exp(dlf)
-    pred, _z = _proj(R, t, f_scale, intr0, X0 + delta_pt)
+    pred, _z = _proj(R, t, f_scale, intr0, X0 + delta_pt, dk=delta_cam[7])
     return pred - uv
 
 
@@ -124,10 +134,12 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     r, A, B = _jacobians(prob)
     w = _huber_weight(jnp.sum(r * r, -1), huber_delta)
     w = w * prob.obs_mask.astype(w.dtype)
-    # Mask focal column when not refining, and whole blocks of fixed cameras
+    # Mask focal/distortion columns when not refining, and whole blocks of
+    # fixed cameras
     focal_on = prob.refine_focal.astype(A.dtype)
+    dist_on = prob.refine_dist.astype(A.dtype)
     col_mask = jnp.concatenate(
-        [jnp.ones((6,), A.dtype), focal_on[None]], 0
+        [jnp.ones((6,), A.dtype), focal_on[None], dist_on[None]], 0
     )
     A = A * col_mask[None, None, :]
     free = 1.0 - prob.fixed_cams[prob.obs_cam].astype(A.dtype)
@@ -244,6 +256,7 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     cam_t = prob.cam_t + delta_c[:, 3:6]
     f_scale = jnp.exp(delta_c[:, 6])
     intr = prob.intr.at[:, 0].mul(f_scale).at[:, 1].mul(f_scale)
+    intr = intr.at[:, 4].add(delta_c[:, 7])
     points = prob.points + delta_p
     return cam_R, cam_t, intr, points
 
@@ -382,6 +395,7 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     cam_t = prob.cam_t + delta_c[:, 3:6]
     f_scale = jnp.exp(delta_c[:, 6])
     intr = prob.intr.at[:, 0].mul(f_scale).at[:, 1].mul(f_scale)
+    intr = intr.at[:, 4].add(delta_c[:, 7])
     points = prob.points + delta_p
     return cam_R, cam_t, intr, points, cg_used
 
@@ -389,13 +403,14 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
 def bundle_adjust(
     qvec: np.ndarray,        # (C, 4)
     tvec: np.ndarray,        # (C, 3)
-    intr: np.ndarray,        # (C, 4) fx, fy, cx, cy
+    intr: np.ndarray,        # (C, 4) fx, fy, cx, cy  or  (C, 5) ... + k1
     points: np.ndarray,      # (P, 3)
     obs_uv: np.ndarray,      # (O, 2)
     obs_cam: np.ndarray,     # (O,)
     obs_pt: np.ndarray,      # (O,)
     fixed_cams: np.ndarray | None = None,
     refine_focal: bool = False,
+    refine_dist: bool = False,  # refine SIMPLE_RADIAL k1 (intr column 5)
     max_iters: int = 30,
     huber_delta: float = 2.0,
     max_track: int | None = None,
@@ -418,8 +433,11 @@ def bundle_adjust(
     dense Cholesky is tiny next to the residual/Jacobian work on big scenes.
     """
     C, P, O = len(qvec), len(points), len(obs_uv)
+    in_cols = intr.shape[1]
+    if in_cols == 4:  # pinhole callers: k1 = 0 column appended internally
+        intr = np.concatenate([intr, np.zeros((C, 1))], axis=1)
     if O == 0 or P == 0:
-        return qvec, tvec, intr, points, 0.0
+        return qvec, tvec, intr[:, :in_cols], points, 0.0
     use_pcg = schur_mode == "pcg" or (schur_mode == "auto" and C > 120)
 
     # Scene normalization for f32 conditioning
@@ -436,6 +454,7 @@ def bundle_adjust(
     # touches it — its Schur product is matrix-free — so it gets a minimal
     # dummy instead of an O(P*T) table.
     if use_pcg:
+        T = 1
         track_obs = np.full((P, 1), O, np.int32)
         track_mask = np.zeros((P, 1), bool)
     else:
@@ -490,6 +509,7 @@ def bundle_adjust(
             fixed_cams if fixed_cams is not None else np.zeros(C, bool)
         ),
         refine_focal=jnp.asarray(refine_focal),
+        refine_dist=jnp.asarray(refine_dist),
     )
 
     if mesh is not None:
@@ -549,7 +569,7 @@ def bundle_adjust(
     return (
         q_out.astype(np.float64),
         t_out,
-        np.asarray(prob.intr, np.float64),
+        np.asarray(prob.intr, np.float64)[:, :in_cols],
         pts_out,
         cost / max(O, 1),
     )

@@ -52,6 +52,12 @@ class MapperConfig:
     compute_homography: bool = True
     planar_h_ratio: float = 0.8
     refine_focal: bool = False         # refine focal in BA (unknown-intrinsics mode)
+    # Camera model for NEW cameras (reference default for ETH3D SfM is
+    # SIMPLE_RADIAL — hydra_configs/eth3d_sfm/dfsfm.yaml:94). With
+    # SIMPLE_RADIAL, k1 starts at 0, geometry runs on iteratively
+    # undistorted keypoints, and BA refines k1 (refine_extra_params).
+    camera_model: str = "PINHOLE"      # PINHOLE | SIMPLE_RADIAL
+    refine_extra_params: bool = True   # refine k1 in BA (SIMPLE_RADIAL only)
     # Unknown-intrinsics focal search: re-run two-view RANSAC at several
     # focal factors and vote a per-image focal from the winning factors
     # (phototourism focals vary several-fold around any single prior; COLMAP
@@ -137,14 +143,20 @@ class IncrementalMapper:
         for n in self.names:
             i = self.name_to_id[n]
             w, h = image_sizes[n]
+            model = self.cfg.camera_model
             if intrinsics is not None and n in intrinsics:
                 K = np.asarray(intrinsics[n], np.float64)
-                params = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
-                model = "PINHOLE"
+                if model == "SIMPLE_RADIAL":
+                    f = 0.5 * (K[0, 0] + K[1, 1])
+                    params = np.array([f, K[0, 2], K[1, 2], 0.0])
+                else:
+                    params = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
             else:
                 f = self.cfg.default_focal_factor * max(w, h)
-                params = np.array([f, f, w / 2.0, h / 2.0])
-                model = "PINHOLE"
+                if model == "SIMPLE_RADIAL":
+                    params = np.array([f, w / 2.0, h / 2.0, 0.0])
+                else:
+                    params = np.array([f, f, w / 2.0, h / 2.0])
                 self.unknown_K.add(i)
             rec.add_camera(colmap_io.Camera(i, model, w, h, params))
             rec.add_image(
@@ -1047,7 +1059,8 @@ class IncrementalMapper:
 
     def _complete_image(self, rec: Reconstruction, img_id: int,
                         max_error: Optional[float] = None,
-                        cache: Optional[Dict[int, tuple]] = None) -> int:
+                        cache: Optional[Dict[int, tuple]] = None,
+                        pids_arr: Optional[np.ndarray] = None) -> int:
         """Add this image's observations to already-triangulated tracks when
         they reproject within threshold (COLMAP tri-complete semantics,
         --Mapper.tri_complete_max_reproj_error). Returns #added."""
@@ -1059,16 +1072,32 @@ class IncrementalMapper:
         if img_id not in cache:
             return 0
         R, t, _C, K = cache[img_id]
-        cand = []
-        for kpt, tid in self.kpt_track.get(img_id, {}).items():
-            pid = int(self.track_pid[tid])
-            if pid < 0 or pid not in rec.points or im.point3D_ids[kpt] >= 0:
-                continue
-            cand.append((kpt, pid))
-        if not cand:
+        # Vectorized candidate set: keypoints whose union-find track has a
+        # live 3D point but no observation here yet (the old per-keypoint
+        # dict loop was host seconds at 100k-point scale — VERDICT r2 #9)
+        d = self.kpt_track.get(img_id, {})
+        if not d:
             return 0
-        X = np.stack([rec.points[pid]["xyz"] for _, pid in cand])
-        uv_obs = np.stack([im.xys[kpt] for kpt, _ in cand])
+        arr = np.full(len(im.xys), -1, np.int64)
+        arr[np.fromiter(d.keys(), np.int64, len(d))] = np.fromiter(
+            d.values(), np.int64, len(d))
+        has_tid = arr >= 0
+        pid_of = np.full(len(im.xys), -1, np.int64)
+        pid_of[has_tid] = self.track_pid[arr[has_tid]]
+        if pids_arr is None:
+            pids_arr = np.asarray(sorted(rec.points), np.int64)
+        rowk = np.searchsorted(pids_arr, np.maximum(pid_of, 0))
+        live = (pid_of >= 0) & (rowk < len(pids_arr)) & (
+            pids_arr[np.minimum(rowk, len(pids_arr) - 1)] == pid_of
+        )
+        kpt_idx = np.flatnonzero(live & (im.point3D_ids < 0))
+        if not len(kpt_idx):
+            return 0
+        cand = [(int(k), int(pid_of[k])) for k in kpt_idx]
+        X_by_pid = {p: rec.points[p]["xyz"] for p in
+                    np.unique(pid_of[kpt_idx]).tolist()}
+        X = np.stack([X_by_pid[pid] for _, pid in cand])
+        uv_obs = im.xys[kpt_idx]
         Xc = X @ R.T + t
         z = Xc[:, 2]
         z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
@@ -1090,8 +1119,11 @@ class IncrementalMapper:
         reference sfm_model_geometry_refiner.py:33-36 sets
         tri_complete_max_reproj_error each refinement iteration)."""
         cache = _camera_cache(rec)
+        # completion appends observations but never adds/removes points, so
+        # one sorted pid array serves every image
+        pids_arr = np.asarray(sorted(rec.points), np.int64)
         return sum(
-            self._complete_image(rec, img_id, max_error, cache)
+            self._complete_image(rec, img_id, max_error, cache, pids_arr)
             for img_id in sorted(rec.registered_images)
         )
 
@@ -1104,30 +1136,118 @@ class IncrementalMapper:
         proximity (kNN at a depth-scaled radius) instead of COLMAP's
         correspondence graph: our union-find track builder already fuses all
         match-connected keypoints, so remaining duplicates are geometric
-        (grid-merge near-duplicates, missed matches). Returns #merges."""
+        (grid-merge near-duplicates, missed matches).
+
+        Fully vectorized (VERDICT r2 #9): per-round, ALL candidate pairs go
+        through batched linkage + union-reprojection gates as numpy array
+        programs; only independent accepted pairs merge per round, and
+        rounds repeat until a fixpoint (chains a-b-c merge across rounds,
+        with the union re-verified against the post-merge state — COLMAP
+        re-merges iteratively too). Returns total #merges."""
+        total = 0
+        for _ in range(8):  # fixpoint cap; real scenes converge in 2-3
+            n = self._merge_tracks_round(rec, max_reproj_error)
+            total += n
+            if n == 0:
+                break
+        return total
+
+    def _point_table(self, rec: Reconstruction, pids: list):
+        """Padded per-point observation table, built vectorized from the
+        image-side point3D_ids columns. Returns (uniq_imgs, R_all (U,3,3),
+        t_all (U,3), K_all (U,3,3), img_row (P,T), uv (P,T,2), kpt (P,T),
+        tid (P,T), mask (P,T))."""
+        from ..core.geometry import np_quat_to_rotmat
+
+        pids_arr = np.asarray(pids, np.int64)
+        reg = sorted(rec.registered_images)
+        # Per-image kpt->tid arrays (vectorized lookups; kpt_track itself is
+        # a per-build static mapping)
+        have_graph = hasattr(self, "kpt_track")
+        flat_pid, flat_img, flat_kpt, flat_uv, flat_tid = [], [], [], [], []
+        for ui, img_id in enumerate(reg):
+            im = rec.images[img_id]
+            kpts = np.flatnonzero(im.point3D_ids >= 0)
+            if not len(kpts):
+                continue
+            opids = im.point3D_ids[kpts]
+            rows = np.searchsorted(pids_arr, opids)
+            ok = (rows < len(pids_arr)) & (
+                pids_arr[np.minimum(rows, len(pids_arr) - 1)] == opids
+            )
+            kpts, rows = kpts[ok], rows[ok]
+            flat_pid.append(rows.astype(np.int64))
+            flat_img.append(np.full(len(kpts), ui, np.int32))
+            flat_kpt.append(kpts.astype(np.int32))
+            flat_uv.append(im.xys[kpts])
+            if have_graph:
+                d = self.kpt_track.get(img_id, {})
+                arr = np.full(len(im.xys), -1, np.int64)
+                if d:
+                    arr[np.fromiter(d.keys(), np.int64, len(d))] = (
+                        np.fromiter(d.values(), np.int64, len(d)))
+                flat_tid.append(arr[kpts])
+            else:
+                flat_tid.append(np.full(len(kpts), -1, np.int64))
+        if not flat_pid:
+            return None
+        fp = np.concatenate(flat_pid)
+        fi = np.concatenate(flat_img)
+        fk = np.concatenate(flat_kpt)
+        fuv = np.concatenate(flat_uv)
+        ft = np.concatenate(flat_tid)
+        # Group by point: stable sort + rank within group
+        order = np.argsort(fp, kind="stable")
+        fp, fi, fk, fuv, ft = fp[order], fi[order], fk[order], fuv[order], ft[order]
+        P = len(pids)
+        counts = np.bincount(fp, minlength=P)
+        T = max(int(counts.max()), 1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(len(fp)) - starts[fp]
+        img_row = np.zeros((P, T), np.int32)
+        uv = np.zeros((P, T, 2), np.float64)
+        kpt = np.zeros((P, T), np.int32)
+        tid = np.full((P, T), -1, np.int64)
+        mask = np.zeros((P, T), bool)
+        img_row[fp, rank] = fi
+        uv[fp, rank] = fuv
+        kpt[fp, rank] = fk
+        tid[fp, rank] = ft
+        mask[fp, rank] = True
+
+        q = np.stack([rec.images[i].qvec for i in reg])
+        R_all = np_quat_to_rotmat(np.asarray(q, np.float64))
+        t_all = np.stack([rec.images[i].tvec for i in reg])
+        K_all = np.stack([rec.K_of_image(i) for i in reg])
+        return reg, R_all, t_all, K_all, img_row, uv, kpt, tid, mask
+
+    def _merge_tracks_round(self, rec: Reconstruction,
+                            max_reproj_error: float) -> int:
         from scipy.spatial import cKDTree
 
         pids = sorted(rec.points)
         if len(pids) < 2:
             return 0
-        cache = _camera_cache(rec)
+        table = self._point_table(rec, pids)
+        if table is None:
+            return 0
+        reg, R_all, t_all, K_all, img_row, uv, kpt, tid, mask = table
+        P, T = img_row.shape
         X = np.stack([rec.points[p]["xyz"] for p in pids])
 
         # Per-point merge radius: thr px at the point's median viewing scale
-        # (depth / focal px->3D conversion).
-        scales = np.full(len(pids), np.inf)
-        for r, pid in enumerate(pids):
-            ds = []
-            for (img_id, _k) in rec.points[pid]["track"]:
-                if img_id not in cache:
-                    continue
-                R, t, _C, K = cache[img_id]
-                depth = float((R @ rec.points[pid]["xyz"] + t)[2])
-                f = float((K[0, 0] + K[1, 1]) * 0.5)
-                if depth > 1e-9:
-                    ds.append(depth / f)
-            if ds:
-                scales[r] = float(np.median(ds))
+        # (depth / focal px->3D conversion), fully vectorized.
+        depth = (np.einsum("pj,ptj->pt", X, R_all[img_row][:, :, 2, :])
+                 + t_all[img_row][:, :, 2])
+        f = (K_all[img_row][:, :, 0, 0] + K_all[img_row][:, :, 1, 1]) * 0.5
+        sc = np.where(mask & (depth > 1e-9), depth / f, np.nan)
+        order = np.sort(sc, axis=1)            # NaNs sort last
+        n_valid = np.sum(~np.isnan(sc), axis=1)
+        med_lo = np.clip((n_valid - 1) // 2, 0, T - 1)
+        med_hi = np.clip(n_valid // 2, 0, T - 1)
+        rows = np.arange(P)
+        scales = 0.5 * (order[rows, med_lo] + order[rows, med_hi])
+        scales = np.where(n_valid > 0, scales, np.inf)
         radius = max_reproj_error * scales
         finite = np.isfinite(radius)
         if not finite.any():
@@ -1135,93 +1255,74 @@ class IncrementalMapper:
         rmax = float(np.percentile(radius[finite], 90))
 
         tree = cKDTree(X)
-        cand_pairs = sorted(tree.query_pairs(rmax))
-
-        # Conservative linkage gate (stands in for COLMAP's correspondence
-        # graph). Two candidate points are linked when either
-        #   (a) their observations belong to the same union-find track
-        #       (a split track — the exact case COLMAP's graph linkage
-        #       covers), or
-        #   (b) they observe a COMMON image with 2D keypoints within
-        #       threshold there (grid-merge / missed-match duplicates).
-        # Pure 3D proximity without this gate merges real neighboring
-        # structure (observed on the demo scene).
-        have_graph = hasattr(self, "kpt_track")
-
-        def _tids(p):
-            s = set()
-            for (i, k) in rec.points[p]["track"]:
-                tid = self.kpt_track.get(i, {}).get(k)
-                if tid is not None:
-                    s.add(tid)
-            return s
-
-        def _linked(pa, pb):
-            if have_graph and (_tids(pa) & _tids(pb)):
-                return True
-            obs_a = {i: rec.images[i].xys[k]
-                     for (i, k) in rec.points[pa]["track"]}
-            for (i, k) in rec.points[pb]["track"]:
-                if i in obs_a:
-                    d = np.linalg.norm(rec.images[i].xys[k] - obs_a[i])
-                    if d <= max_reproj_error:
-                        return True
-            return False
-
-        def _track_ok(track, xyz):
-            uvs, Rs, ts, Ks = [], [], [], []
-            for (img_id, kpt) in track:
-                if img_id not in cache:
-                    continue
-                R, t, _C, K = cache[img_id]
-                uvs.append(rec.images[img_id].xys[kpt])
-                Rs.append(R); ts.append(t); Ks.append(K)
-            if not uvs:
-                return True
-            Xc = np.asarray(Rs) @ xyz + np.asarray(ts)
-            z = Xc[:, 2]
-            if np.any(z <= 1e-6):
-                return False
-            uvp = np.einsum("nij,nj->ni", np.asarray(Ks), Xc / z[:, None])[:, :2]
-            err = np.linalg.norm(uvp - np.asarray(uvs), axis=-1)
-            return bool(np.all(err <= max_reproj_error))
-
-        # pid -> track ids (to redirect self.track_pid after merges)
-        pid_tids: Dict[int, list] = {}
-        if hasattr(self, "track_pid"):
-            for tid, pid in enumerate(self.track_pid):
-                if pid >= 0:
-                    pid_tids.setdefault(int(pid), []).append(tid)
-
-        alias = {}  # merged-away pid -> surviving pid
-
-        def _resolve(p):
-            while p in alias:
-                p = alias[p]
-            return p
-
+        cand = np.asarray(sorted(tree.query_pairs(rmax)), np.int64)
+        if len(cand) == 0:
+            return 0
+        a, b = cand[:, 0], cand[:, 1]
+        d = np.linalg.norm(X[a] - X[b], axis=1)
+        lim = np.minimum(radius[a], radius[b])
+        keep = np.isfinite(lim) & (d <= lim)
+        cand = cand[keep]
         n_merged = 0
-        for a_idx, b_idx in cand_pairs:
-            pa, pb = _resolve(pids[a_idx]), _resolve(pids[b_idx])
-            if pa == pb or pa not in rec.points or pb not in rec.points:
-                continue
-            A, B = rec.points[pa], rec.points[pb]
-            d = float(np.linalg.norm(A["xyz"] - B["xyz"]))
-            lim = min(radius[a_idx], radius[b_idx])
-            if not np.isfinite(lim) or d > lim:
-                continue
-            na, nb = len(A["track"]), len(B["track"])
-            if not _linked(pa, pb):
-                continue
-            xyz = (na * A["xyz"] + nb * B["xyz"]) / (na + nb)
-            if not _track_ok(A["track"] + B["track"], xyz):
-                continue
-            keep, drop = (pa, pb) if na >= nb else (pb, pa)
-            rec.merge_points(keep, drop, xyz)
-            alias[drop] = keep
-            for tid in pid_tids.get(drop, []):
+        tlen = mask.sum(axis=1)
+        CH = 8192  # pairs per gate chunk (bounds the (CH, 2T, 3, 3) gathers)
+        merged_this_round = np.zeros(P, bool)
+        for s0 in range(0, len(cand), CH):
+            ca = cand[s0 : s0 + CH, 0]
+            cb = cand[s0 : s0 + CH, 1]
+            n = len(ca)
+            # Linkage gate (stands in for COLMAP's correspondence graph):
+            #  (a) shared union-find track id (a split track — the exact
+            #      case COLMAP's graph linkage covers), OR
+            #  (b) a COMMON image with 2D keypoints within threshold
+            #      (grid-merge / missed-match duplicates).
+            # Pure 3D proximity without this gate merges real neighboring
+            # structure (observed on the demo scene).
+            ta = tid[ca][:, :, None]                       # (n, T, 1)
+            tb = tid[cb][:, None, :]                       # (n, 1, T)
+            m2 = mask[ca][:, :, None] & mask[cb][:, None, :]
+            link_tid = np.any((ta == tb) & (ta >= 0) & m2, axis=(1, 2))
+            same_img = (img_row[ca][:, :, None] == img_row[cb][:, None, :]) & m2
+            duv = np.linalg.norm(
+                uv[ca][:, :, None, :] - uv[cb][:, None, :, :], axis=-1)
+            link_img = np.any(same_img & (duv <= max_reproj_error), axis=(1, 2))
+            linked = link_tid | link_img
+
+            # Union reprojection gate at the track-length-weighted centroid
+            na = tlen[ca].astype(np.float64)[:, None]
+            nb = tlen[cb].astype(np.float64)[:, None]
+            xyz = (na * X[ca] + nb * X[cb]) / np.maximum(na + nb, 1.0)
+            img_u = np.concatenate([img_row[ca], img_row[cb]], axis=1)  # (n, 2T)
+            uv_u = np.concatenate([uv[ca], uv[cb]], axis=1)
+            m_u = np.concatenate([mask[ca], mask[cb]], axis=1)
+            Rg = R_all[img_u]                              # (n, 2T, 3, 3)
+            tg = t_all[img_u]
+            Kg = K_all[img_u]
+            Xc = np.einsum("ntij,nj->nti", Rg, xyz) + tg
+            z = Xc[..., 2]
+            z_ok = np.where(m_u, z > 1e-6, True)
+            zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+            uvp = np.einsum("ntij,ntj->nti", Kg, Xc / zs[..., None])[..., :2]
+            err = np.linalg.norm(uvp - uv_u, axis=-1)
+            err_ok = np.where(m_u, err <= max_reproj_error, True)
+            track_ok = np.all(z_ok & err_ok, axis=1)
+
+            for r in np.flatnonzero(linked & track_ok):
+                ia, ib = int(ca[r]), int(cb[r])
+                # Only independent merges this round; chains re-verify next
+                # round against the merged state.
+                if merged_this_round[ia] or merged_this_round[ib]:
+                    continue
+                pa, pb = pids[ia], pids[ib]
+                if pa not in rec.points or pb not in rec.points:
+                    continue
+                A, B = rec.points[pa], rec.points[pb]
+                la, lb = len(A["track"]), len(B["track"])
+                keep_p, drop_p = (pa, pb) if la >= lb else (pb, pa)
+                rec.merge_points(keep_p, drop_p, xyz[r])
                 if hasattr(self, "track_pid"):
-                    self.track_pid[tid] = keep
-            pid_tids.setdefault(keep, []).extend(pid_tids.pop(drop, []))
-            n_merged += 1
+                    drop_tids = np.flatnonzero(self.track_pid == drop_p)
+                    self.track_pid[drop_tids] = keep_p
+                merged_this_round[ia] = merged_this_round[ib] = True
+                n_merged += 1
         return n_merged
