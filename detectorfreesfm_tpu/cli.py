@@ -105,6 +105,7 @@ def _run_scene(args) -> dict:
         redo_refine=args.redo,
         compute_dtype=args.dtype,
         mapper=MapperConfig(
+            camera_model=getattr(args, "camera_model", "pinhole").upper(),
             # Known GT intrinsics stay fixed in BA (the reference fixes
             # provided intrinsics); focal refinement only makes sense when
             # focals were guessed. --known-intrinsics forces fixed.
@@ -173,8 +174,6 @@ def cmd_reconstruct(args) -> int:
 def cmd_eval_dataset(args) -> int:
     """All scenes of a dataset + aggregated metrics txt (reference
     eval_dataset.py:156-190 aggregation surface, incl. IMC bag grouping)."""
-    from .eval.aggregate import aggregate_multi_scene_metrics, format_report
-
     scenes = sorted(
         d for d in os.listdir(args.dataset)
         if os.path.isdir(os.path.join(args.dataset, d, "images"))
@@ -188,31 +187,23 @@ def cmd_eval_dataset(args) -> int:
     if args.n_scenes:
         scenes = scenes[: args.n_scenes]
 
-    per_scene = {}
-    for s in scenes:
+    # Multi-host: scenes stride over processes (each scene reconstructed
+    # exactly once), metrics all-gather over DCN, process 0 aggregates —
+    # the reference's Ray scene fan-out (eval_dataset.py:129-151) as a
+    # jax.distributed process queue. Single-process runs take the same path.
+    from .parallel.orchestrate import run_eval_scenes
+
+    def scene_fn(s):
         ns = argparse.Namespace(**vars(args))
         ns.scene = os.path.join(args.dataset, s)
         ns.images = None
         ns.output = os.path.join(args.output, s)
-        print(f"=== scene {s} ===", file=sys.stderr)
-        try:
-            res = _run_scene(ns)
-        except Exception as e:  # scene isolation, reference eval_dataset.py:88
-            print(f"scene {s} failed: {e}", file=sys.stderr)
-            res = {"status": "failed", "error": repr(e)}
-        print(json.dumps({"scene": s, **res}))
-        metrics = dict(res.get("pose_auc", {}))
-        metrics["registered_ratio"] = (
-            res.get("n_registered", 0) / max(res.get("n_images", 1), 1)
-        )
-        per_scene[s] = metrics
+        return _run_scene(ns)
 
-    agg = aggregate_multi_scene_metrics(per_scene, group_bags=args.imc_bags)
-    report = format_report(agg, per_scene, title=os.path.basename(args.dataset))
-    os.makedirs(args.output, exist_ok=True)
-    with open(os.path.join(args.output, "metrics.txt"), "w") as f:
-        f.write(report + "\n")
-    print(report)
+    run_eval_scenes(
+        scenes, scene_fn, args.output, imc_bags=args.imc_bags,
+        title=os.path.basename(args.dataset),
+    )
     return 0
 
 
@@ -336,7 +327,8 @@ def cmd_train_matcher(args) -> int:
     state = None
     step = 0
     max_steps = getattr(args, "max_steps", None)
-    for epoch in range(args.epochs):
+    ep0 = getattr(args, "start_epoch", 0)
+    for epoch in range(ep0, ep0 + args.epochs):
         ids = sampler.epoch(epoch).tolist()
         bs = max(1, args.batch_size)
         for start in range(0, len(ids) - bs + 1, bs):
@@ -431,6 +423,12 @@ def main(argv=None) -> int:
         sp.add_argument("--n-images", type=int, default=None, dest="n_images")
         sp.add_argument("--min-model-size", type=int, default=3,
                         dest="min_model_size")
+        sp.add_argument("--camera-model", default="pinhole",
+                        choices=("pinhole", "simple_radial"),
+                        dest="camera_model",
+                        help="camera model for reconstruction; simple_radial"
+                             " estimates a k1 radial coefficient in BA (the"
+                             " reference's ETH3D default)")
         sp.add_argument("--known-intrinsics", action="store_true",
                         dest="known_intrinsics")
         sp.add_argument("--dtype", default="float32",
@@ -499,6 +497,10 @@ def main(argv=None) -> int:
     sm.add_argument("--init-ckpt", default=None, dest="init_ckpt",
                     help="warm-start from a previous checkpoint")
     sm.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    sm.add_argument("--start-epoch", type=int, default=0, dest="start_epoch",
+                    help="first epoch number (controls the sampler's epoch"
+                         " RNG; lets one-epoch-per-process runs chain via"
+                         " --init-ckpt without repeating samples)")
     sm.add_argument("--fine", action="store_true",
                     help="jointly train the fine sub-pixel stage "
                          "(teacher-forced at GT coarse cells; needed for "

@@ -103,3 +103,81 @@ def run_scenes(
             results[key] = {"status": "failed", "error": repr(e)}
         prog.update()
     return results
+
+
+def allgather_objects(obj):
+    """All-gather one picklable-as-JSON object per process (the reference's
+    gloo `gather` of pickled metrics, src/utils/comm.py, used at
+    lightning_model.py:137-152). Serializes to a padded uint8 buffer and
+    rides jax.experimental.multihost_utils.process_allgather over DCN.
+    Returns a list with one object per process (all processes get all)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(json.dumps(obj).encode(), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([len(data)], np.int32)
+    ).reshape(-1)
+    m = int(sizes.max())
+    buf = np.zeros(m, np.uint8)
+    buf[: len(data)] = data
+    bufs = multihost_utils.process_allgather(buf).reshape(-1, m)
+    return [
+        json.loads(bytes(bufs[p, : sizes[p]]).decode())
+        for p in range(len(sizes))
+    ]
+
+
+def run_eval_scenes(scenes, scene_fn, output_dir: str,
+                    imc_bags: bool = False, title: str = "dataset"):
+    """Multi-host dataset evaluation driver (reference eval_dataset.py's Ray
+    scene fan-out, :129-151, as a process-strided queue): each process
+    reconstructs its strided shard exactly once, per-scene metrics are
+    all-gathered over DCN, and process 0 writes the aggregated metrics.txt.
+
+    scene_fn(scene_name) -> result dict (keys: status, n_registered,
+    n_images, pose_auc?). Returns (per_scene_metrics, report) on process 0
+    and (None, None) elsewhere."""
+    import json as _json
+    import os
+
+    import jax
+
+    from ..eval.aggregate import aggregate_multi_scene_metrics, format_report
+
+    pc = jax.process_count()
+    mine = local_shard(scenes) if pc > 1 else list(scenes)
+    local: Dict[str, Dict] = {}
+    for s in mine:
+        print(f"=== scene {s} (proc {jax.process_index()}) ===",
+              file=sys.stderr)
+        try:
+            res = scene_fn(s)
+        except Exception as e:  # noqa: BLE001 — per-scene isolation
+            print(f"scene {s} failed: {e}", file=sys.stderr)
+            res = {"status": "failed", "error": repr(e)}
+        print(_json.dumps({"scene": s, **res}))
+        metrics = dict(res.get("pose_auc", {}) or {})
+        metrics["registered_ratio"] = (
+            res.get("n_registered", 0) / max(res.get("n_images", 1), 1)
+        )
+        local[s] = metrics
+    gathered = allgather_objects(local)
+    per_scene: Dict[str, Dict] = {}
+    for d in gathered:
+        per_scene.update(d)
+    if jax.process_index() != 0:
+        return None, None
+    agg = aggregate_multi_scene_metrics(per_scene, group_bags=imc_bags)
+    report = format_report(agg, per_scene, title=title)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "metrics.txt"), "w") as f:
+        f.write(report + "\n")
+    print(report)
+    return per_scene, report

@@ -265,12 +265,9 @@ def reconstruct_scene(
             images_by_id[img_id] = li.data
             scales[img_id] = li.scale
             im.xys = im.xys / li.scale[None, :]
-            cam = rec.cameras[im.camera_id]
-            cam.params = cam.params.copy()
-            cam.params[0] /= li.scale[0]   # fx
-            cam.params[1] /= li.scale[1]   # fy
-            cam.params[2] /= li.scale[0]   # cx
-            cam.params[3] /= li.scale[1]   # cy
+            rec.cameras[im.camera_id].rescale(
+                1.0 / li.scale[0], 1.0 / li.scale[1]
+            )
         rcfg = dataclasses.replace(
             cfg.refine, n_iters=cfg.n_refine_iters, save_iters_to=output_dir
         )
@@ -282,12 +279,7 @@ def reconstruct_scene(
         for img_id, im in rec.images.items():
             sc = scales[img_id]
             im.xys = im.xys * sc[None, :]
-            cam = rec.cameras[im.camera_id]
-            cam.params = cam.params.copy()
-            cam.params[0] *= sc[0]
-            cam.params[1] *= sc[1]
-            cam.params[2] *= sc[0]
-            cam.params[3] *= sc[1]
+            rec.cameras[im.camera_id].rescale(sc[0], sc[1])
     os.makedirs(refined_dir, exist_ok=True)
     rec.write(refined_dir)
     # Viewer-friendly dumps (reference vis3d exports, SURVEY.md §5)

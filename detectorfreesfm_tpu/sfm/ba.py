@@ -134,20 +134,26 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     r, A, B = _jacobians(prob)
     w = _huber_weight(jnp.sum(r * r, -1), huber_delta)
     w = w * prob.obs_mask.astype(w.dtype)
-    # Mask focal/distortion columns when not refining, and whole blocks of
-    # fixed cameras
-    focal_on = prob.refine_focal.astype(A.dtype)
-    dist_on = prob.refine_dist.astype(A.dtype)
-    col_mask = jnp.concatenate(
-        [jnp.ones((6,), A.dtype), focal_on[None], dist_on[None]], 0
-    )
-    A = A * col_mask[None, None, :]
-    free = 1.0 - prob.fixed_cams[prob.obs_cam].astype(A.dtype)
-    A = A * free[:, None, None]
+    # Per-camera COLUMN mask: gauge-fixed cameras freeze only their 6 pose
+    # DOF — their intrinsic columns (log-focal, k1) stay live exactly like
+    # COLMAP/Ceres, which fixes extrinsics of gauge images but keeps
+    # refining intrinsics. Focal/distortion columns are additionally gated
+    # by the refine flags.
+    C = prob.cam_R.shape[0]
+    dtype = A.dtype
+    focal_on = prob.refine_focal.astype(dtype)
+    dist_on = prob.refine_dist.astype(dtype)
+    pose_free = (1.0 - prob.fixed_cams.astype(dtype))[:, None]   # (C, 1)
+    cam_col = jnp.concatenate([
+        jnp.broadcast_to(pose_free, (C, 6)),
+        jnp.full((C, 1), focal_on, dtype),
+        jnp.full((C, 1), dist_on, dtype),
+    ], axis=1)                                                    # (C, 8)
+    A = A * cam_col[prob.obs_cam][:, None, :]
     rw = r * w[:, None]
     Aw = A * w[:, None, None]
     Bw = B * w[:, None, None]
-    return rw, Aw, Bw, w
+    return rw, Aw, Bw, w, cam_col
 
 
 
@@ -174,7 +180,7 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
     dtype = prob.points.dtype
-    rw, Aw, Bw, _ = _weighted_system(prob, huber_delta)
+    rw, Aw, Bw, _, cam_col = _weighted_system(prob, huber_delta)
 
     # Per-camera U blocks and rhs
     U = jax.ops.segment_sum(
@@ -225,17 +231,17 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     S = -S
     S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
 
-    # Fixed / empty camera blocks -> identity rows (keeps Cholesky SPD)
+    # Masked columns (fixed pose DOF / disabled intrinsic DOF / empty
+    # cameras) -> unit diagonal entries (keeps Cholesky SPD)
     occupied = jax.ops.segment_sum(
         prob.obs_mask.astype(dtype), prob.obs_cam, num_segments=C
     ) > 0
-    free_blk = (~prob.fixed_cams) & occupied
-    free = free_blk.astype(dtype)
-    S = S * free[:, None, None, None] * free[None, :, None, None]
+    free_col = cam_col * occupied[:, None].astype(dtype)   # (C, 8)
+    S = S * free_col[:, None, :, None] * free_col[None, :, None, :]
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
-        (1.0 - free)[:, None, None] * jnp.eye(CAM_DOF, dtype=dtype)
+        jax.vmap(jnp.diag)(1.0 - free_col)
     )
-    b_red = b_red * free[:, None]
+    b_red = b_red * free_col
 
     # Dense solve on the MXU
     S_dense = S.transpose(0, 2, 1, 3).reshape(C * CAM_DOF, C * CAM_DOF)
@@ -286,7 +292,7 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     C = prob.cam_R.shape[0]
     P = prob.points.shape[0]
     dtype = prob.points.dtype
-    rw, Aw, Bw, _ = _weighted_system(prob, huber_delta)
+    rw, Aw, Bw, _, cam_col = _weighted_system(prob, huber_delta)
 
     U = jax.ops.segment_sum(
         jnp.einsum("oik,oil->okl", Aw, Aw), prob.obs_cam, num_segments=C
@@ -313,18 +319,19 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     occupied = jax.ops.segment_sum(
         prob.obs_mask.astype(dtype), prob.obs_cam, num_segments=C
     ) > 0
-    free_blk = (~prob.fixed_cams) & occupied
-    free = free_blk.astype(dtype)
+    # Per-COLUMN freedom (pose frozen for gauge cameras, intrinsic columns
+    # still live — see _weighted_system)
+    free_col = cam_col * occupied[:, None].astype(dtype)   # (C, 8)
 
     # Reduced rhs
     red = jax.ops.segment_sum(
         jnp.einsum("okm,om->ok", Y, b_pt[prob.obs_pt]),
         prob.obs_cam, num_segments=C,
     )
-    b_red = (b_cam - red) * free[:, None]
+    b_red = (b_cam - red) * free_col
 
-    def S_mv(v):  # v (C, 7) -> S v (C, 7), fixed blocks = identity
-        vf = v * free[:, None]
+    def S_mv(v):  # v (C, 8) -> S v (C, 8), masked columns = identity
+        vf = v * free_col
         u = jnp.einsum("ckl,cl->ck", U, vf)
         z = jax.ops.segment_sum(
             jnp.einsum("okl,ok->ol", W, vf[prob.obs_cam]),
@@ -334,15 +341,15 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
             jnp.einsum("okm,om->ok", Y, z[prob.obs_pt]),
             prob.obs_cam, num_segments=C,
         )
-        return (u - corr) * free[:, None] + v * (1.0 - free)[:, None]
+        return (u - corr) * free_col + v * (1.0 - free_col)
 
     # SCHUR_JACOBI preconditioner blocks
     diag_corr = jax.ops.segment_sum(
         jnp.einsum("okm,olm->okl", Y, W), prob.obs_cam, num_segments=C
     )
     D = U - diag_corr
-    D = (D * free[:, None, None]
-         + (1.0 - free)[:, None, None] * eyeC)
+    D = (D * free_col[:, :, None] * free_col[:, None, :]
+         + jax.vmap(jnp.diag)(1.0 - free_col))
     D_inv = jnp.linalg.inv(D + 1e-8 * eyeC)
 
     def M_inv(v):
@@ -381,7 +388,7 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     delta_c, _, _, _, cg_used = jax.lax.while_loop(
         cond, body, (x0, r0, p0, rz0, jnp.zeros((), jnp.int32))
     )
-    delta_c = delta_c * free[:, None]
+    delta_c = delta_c * free_col
 
     # Back-substitute points
     WtD = jax.ops.segment_sum(

@@ -128,6 +128,26 @@ class IncrementalMapper:
     def _stable_rng(self, *parts) -> jax.Array:
         return jnp.asarray(self._stable_rngs([parts])[0])
 
+    @staticmethod
+    def _uxys(rec: Reconstruction, img_id: int) -> np.ndarray:
+        """Keypoints of an image, undistorted under the camera's CURRENT k1
+        (identity for k1=0 / distortion-free models). All geometric solvers
+        (verification, PnP, triangulation, merge/complete/filter) run on
+        undistorted coordinates with a pinhole projection; only BA, which
+        estimates k1 itself, sees the raw distorted observations.
+
+        Computed fresh per call — im.xys mutates in place during refinement
+        and k1 changes after each BA, so caching here would silently go
+        stale. The vectorized undistortion is microseconds per image."""
+        im = rec.images[img_id]
+        cam = rec.cameras[im.camera_id]
+        k1 = cam.k1()
+        if k1 == 0.0:
+            return im.xys
+        from ..core.geometry import np_undistort_pixels
+
+        return np_undistort_pixels(im.xys, cam.K(), k1)
+
     # -- setup -----------------------------------------------------------------
 
     def _setup(
@@ -201,8 +221,8 @@ class IncrementalMapper:
                 continue
             ia, ib = self.name_to_id[na], self.name_to_id[nb]
             Ka, Kb = rec.K_of_image(ia), rec.K_of_image(ib)
-            uv0 = rec.images[ia].xys[m[:, 0]]
-            uv1 = rec.images[ib].xys[m[:, 1]]
+            uv0 = self._uxys(rec, ia)[m[:, 0]]
+            uv1 = self._uxys(rec, ib)[m[:, 1]]
             x0 = np.stack([(uv0[:, 0] - Ka[0, 2]) / Ka[0, 0],
                            (uv0[:, 1] - Ka[1, 2]) / Ka[1, 1]], -1)
             x1 = np.stack([(uv1[:, 0] - Kb[0, 2]) / Kb[0, 0],
@@ -282,10 +302,7 @@ class IncrementalMapper:
         if focal_search:
             for img_id, fs in votes.items():
                 fac = float(np.median(fs))
-                cam = rec.cameras[rec.images[img_id].camera_id]
-                cam.params = cam.params.copy()
-                cam.params[0] *= fac
-                cam.params[1] *= fac
+                rec.cameras[rec.images[img_id].camera_id].scale_focal(fac)
 
         # --- homography degeneracy score (batched, winning factor only) ----
         if cfg.compute_homography and out:
@@ -348,8 +365,8 @@ class IncrementalMapper:
         from ..core.geometry import rotmat_to_quat as _r2q
 
         Ka, Kb = rec.K_of_image(ia), rec.K_of_image(ib)
-        uv0 = rec.images[ia].xys[m[:, 0]]
-        uv1 = rec.images[ib].xys[m[:, 1]]
+        uv0 = self._uxys(rec, ia)[m[:, 0]]
+        uv1 = self._uxys(rec, ib)[m[:, 1]]
         n_pad = _pad_pow2(len(m))
         x0 = np.zeros((n_pad, 2), np.float32)
         x1 = np.zeros((n_pad, 2), np.float32)
@@ -411,12 +428,15 @@ class IncrementalMapper:
         t_arr = np.zeros((n, V, 3))
         C_arr = np.zeros((n, V, 3))
         K_arr = np.zeros((n, V, 3, 3))
+        ux = {}
         for r, (tid, obs) in enumerate(cand):
             for v, (img_id, kpt) in enumerate(obs):
                 R, t, C, K = cache[img_id]
                 P[r, v, :, :3] = K @ R
                 P[r, v, :, 3] = K @ t
-                UV[r, v] = rec.images[img_id].xys[kpt]
+                if img_id not in ux:
+                    ux[img_id] = self._uxys(rec, img_id)
+                UV[r, v] = ux[img_id][kpt]
                 M[r, v] = True
                 R_arr[r, v], t_arr[r, v], C_arr[r, v], K_arr[r, v] = R, t, C, K
         # --- COLMAP-parity robust triangulation (EstimateTriangulation):
@@ -538,12 +558,13 @@ class IncrementalMapper:
         min_ratio = (cfg.abs_pose_min_inlier_ratio if min_inlier_ratio is None
                      else min_inlier_ratio)
         im = rec.images[img_id]
+        uxys = self._uxys(rec, img_id)
         X_list, x_list = [], []
         for kpt, tid in self.kpt_track.get(img_id, {}).items():
             pid = self.track_pid[tid]
             if pid >= 0 and pid in rec.points:
                 X_list.append(rec.points[pid]["xyz"])
-                x_list.append(im.xys[kpt])
+                x_list.append(uxys[kpt])
         n = len(X_list)
         if n < max(6, min_inl):
             return False
@@ -597,10 +618,7 @@ class IncrementalMapper:
             return False
         fac = factors[best]
         if fac != 1.0:
-            cam = rec.cameras[rec.images[img_id].camera_id]
-            cam.params = cam.params.copy()
-            cam.params[0] *= fac
-            cam.params[1] *= fac
+            rec.cameras[rec.images[img_id].camera_id].scale_focal(fac)
         rec.set_pose(img_id, np.asarray(res.qvec, np.float64)[best],
                      np.asarray(res.tvec, np.float64)[best])
         return True
@@ -646,11 +664,17 @@ class IncrementalMapper:
         obs_cam = np.concatenate(cam_parts)
         obs_pt = np.concatenate(pt_parts)
         q, t = rec.pose_arrays(reg)
+        def _cam(i):
+            return rec.cameras[rec.images[i].camera_id]
         intr = np.stack([
             np.array([rec.K_of_image(i)[0, 0], rec.K_of_image(i)[1, 1],
-                      rec.K_of_image(i)[0, 2], rec.K_of_image(i)[1, 2]])
+                      rec.K_of_image(i)[0, 2], rec.K_of_image(i)[1, 2],
+                      _cam(i).k1()])
             for i in reg
         ])
+        refine_dist = self.cfg.refine_extra_params and any(
+            _cam(i).model == "SIMPLE_RADIAL" for i in reg
+        )
         pts = np.stack([rec.points[p]["xyz"] for p in pids])
         if fixed_ids is None:
             # Gauge: fix the first two registered images
@@ -669,15 +693,23 @@ class IncrementalMapper:
             obs_pt,
             fixed_cams=fixed,
             refine_focal=self.cfg.refine_focal,
+            refine_dist=refine_dist,
             huber_delta=4.0,
             mesh=mesh,
         )
         for i, img_id in enumerate(reg):
             rec.set_pose(img_id, q2[i], t2[i])
+            cam = rec.cameras[rec.images[img_id].camera_id]
             if self.cfg.refine_focal:
-                cam = rec.cameras[rec.images[img_id].camera_id]
-                cam.params = np.array([intr2[i, 0], intr2[i, 1],
-                                       intr2[i, 2], intr2[i, 3]])
+                if cam.model == "SIMPLE_RADIAL":
+                    f = 0.5 * (intr2[i, 0] + intr2[i, 1])
+                    cam.params = np.array([f, intr2[i, 2], intr2[i, 3],
+                                           cam.params[3]])
+                else:
+                    cam.params = np.array([intr2[i, 0], intr2[i, 1],
+                                           intr2[i, 2], intr2[i, 3]])
+            if refine_dist and cam.model == "SIMPLE_RADIAL":
+                cam.set_k1(float(intr2[i, 4]))
         for j, p in enumerate(pids):
             rec.points[p]["xyz"] = pts2[j]
 
@@ -703,13 +735,16 @@ class IncrementalMapper:
         Pm = np.zeros((n_pad, V, 3, 4), np.float32)
         UV = np.zeros((n_pad, V, 2), np.float32)
         M = np.zeros((n_pad, V), bool)
+        ux = {}
         for r, pid in enumerate(pids):
             v = 0
             for img_id, kpt in rec.points[pid]["track"]:
                 if img_id not in P_of or v >= V:  # unregistered obs: skip
                     continue
                 Pm[r, v] = P_of[img_id]
-                UV[r, v] = rec.images[img_id].xys[kpt]
+                if img_id not in ux:
+                    ux[img_id] = self._uxys(rec, img_id)
+                UV[r, v] = ux[img_id][kpt]
                 M[r, v] = True
                 v += 1
         X, ok = triangulate_dlt(jnp.asarray(Pm), jnp.asarray(UV), jnp.asarray(M))
@@ -740,13 +775,16 @@ class IncrementalMapper:
         K_arr = np.zeros((n, T, 3, 3))
         UV = np.zeros((n, T, 2))
         live = np.zeros((n, T), bool)
+        ux = {}
         for r, pid in enumerate(pids):
             for v, (img_id, kpt) in enumerate(rec.points[pid]["track"]):
                 if img_id not in cache:
                     continue
                 R, t, C, K = cache[img_id]
                 R_arr[r, v], t_arr[r, v], C_arr[r, v], K_arr[r, v] = R, t, C, K
-                UV[r, v] = rec.images[img_id].xys[kpt]
+                if img_id not in ux:
+                    ux[img_id] = self._uxys(rec, img_id)
+                UV[r, v] = ux[img_id][kpt]
                 live[r, v] = True
         Xc = np.einsum("nvij,nj->nvi", R_arr, X) + t_arr
         z = Xc[..., 2]
@@ -1097,7 +1135,7 @@ class IncrementalMapper:
         X_by_pid = {p: rec.points[p]["xyz"] for p in
                     np.unique(pid_of[kpt_idx]).tolist()}
         X = np.stack([X_by_pid[pid] for _, pid in cand])
-        uv_obs = im.xys[kpt_idx]
+        uv_obs = self._uxys(rec, img_id)[kpt_idx]
         Xc = X @ R.T + t
         z = Xc[:, 2]
         z_safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
@@ -1179,7 +1217,7 @@ class IncrementalMapper:
             flat_pid.append(rows.astype(np.int64))
             flat_img.append(np.full(len(kpts), ui, np.int32))
             flat_kpt.append(kpts.astype(np.int32))
-            flat_uv.append(im.xys[kpts])
+            flat_uv.append(self._uxys(rec, img_id)[kpts])
             if have_graph:
                 d = self.kpt_track.get(img_id, {})
                 arr = np.full(len(im.xys), -1, np.int64)

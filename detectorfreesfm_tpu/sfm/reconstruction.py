@@ -177,13 +177,22 @@ class Reconstruction:
         q = np.stack([self.images[i].qvec for i in uniq_ids])
         t = np.stack([self.images[i].tvec for i in uniq_ids])
         K = np.stack([self.K_of_image(i) for i in uniq_ids])
+        k1 = np.asarray([
+            self.cameras[self.images[i].camera_id].k1() for i in uniq_ids
+        ])
         R = np_quat_to_rotmat(q)                              # (U, 3, 3)
         idx = np.asarray(img_rows, np.int64)
         X = np.asarray(xyz_rows, np.float64)                  # (N, 3)
         uv_obs = np.asarray(uv_rows, np.float64)              # (N, 2)
         Xc = np.einsum("nij,nj->ni", R[idx], X) + t[idx]
         z = np.where(np.abs(Xc[:, 2:]) > 1e-12, Xc[:, 2:], 1e-12)
-        uv = np.einsum("nij,nj->ni", K[idx], Xc / z)[:, :2]
+        xn = (Xc / z)[:, :2]
+        # SIMPLE_RADIAL distortion: errors are measured against the raw
+        # (distorted) observations, COLMAP semantics
+        r2 = np.sum(xn * xn, axis=1, keepdims=True)
+        xn = xn * (1.0 + k1[idx][:, None] * r2)
+        uv = xn * np.stack([K[idx][:, 0, 0], K[idx][:, 1, 1]], 1) + np.stack(
+            [K[idx][:, 0, 2], K[idx][:, 1, 2]], 1)
         errs = np.linalg.norm(uv - uv_obs, axis=1)
         splits = np.split(errs, np.cumsum(counts)[:-1])
         return dict(zip(pids, splits))

@@ -97,8 +97,43 @@ def worker(pid: int, nproc: int, port: int) -> int:
     # global x is (n_global*2, 4) of ones; g = x @ w has every element 4
     assert abs(v - n_global * 2 * 4 * 4) < 1e-5, v
 
+    # --- 4. two-process mini eval-dataset ----------------------------------
+    # The production multi-host dataset driver (cli.cmd_eval_dataset ->
+    # parallel.orchestrate.run_eval_scenes): every scene must be evaluated
+    # by EXACTLY ONE process, per-scene metrics all-gather over DCN, and
+    # process 0 writes one merged metrics.txt (VERDICT r2 #7; reference
+    # eval_dataset.py:129-151 Ray fan-out).
+    import json
+    import tempfile
+
+    from detectorfreesfm_tpu.parallel.orchestrate import run_eval_scenes
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"dcn_eval_{port}")
+    ran = []
+
+    def scene_fn(s):
+        ran.append(s)
+        return {
+            "status": "ok", "n_registered": 7, "n_images": 8,
+            "pose_auc": {"auc@5": 0.5 + 0.01 * int(s[-2:])},
+        }
+
+    eval_scenes = [f"scene_{i:02d}" for i in range(5)]
+    per_scene, _report = run_eval_scenes(
+        eval_scenes, scene_fn, out_dir, title="dcn_dryrun")
+    # disjoint, complete ownership: this process ran exactly its stride
+    assert ran == eval_scenes[pid::nproc], (ran, pid)
+    if pid == 0:
+        assert per_scene is not None and sorted(per_scene) == eval_scenes
+        with open(os.path.join(out_dir, "metrics.txt")) as f:
+            rep = f.read()
+        for s in eval_scenes:  # merged report covers every scene
+            assert s in rep, s
+    else:
+        assert per_scene is None
+
     print(f"[proc {pid}] scene shard {expect} | global reduce {total:.0f} "
-          f"| step {v:.0f} OK", flush=True)
+          f"| step {v:.0f} | eval-dataset shard {ran} OK", flush=True)
     return 0
 
 
