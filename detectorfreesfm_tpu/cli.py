@@ -198,6 +198,33 @@ def cmd_eval_dataset(args) -> int:
         ns.scene = os.path.join(args.dataset, s)
         ns.images = None
         ns.output = os.path.join(args.output, s)
+        if getattr(args, "isolate_scenes", False):
+            # Subprocess isolation: a native crash / OOM in one scene kills
+            # only that scene, like the reference's Ray workers
+            # (eval_dataset.py:88-92). try/except alone cannot contain a
+            # C++/XLA abort.
+            import subprocess
+
+            cmd = [sys.executable, "-m", "detectorfreesfm_tpu.cli",
+                   "reconstruct", "--scene", ns.scene, "--output", ns.output,
+                   "--img-resize", str(ns.img_resize),
+                   "--refine-iters", str(ns.refine_iters),
+                   "--match-type", getattr(ns, "match_type", "coarse_only"),
+                   "--camera-model", getattr(ns, "camera_model", "pinhole")]
+            for flag, attr in (("--matcher-ckpt", "matcher_ckpt"),
+                               ("--refiner-ckpt", "refiner_ckpt")):
+                if getattr(ns, attr, None):
+                    cmd += [flag, getattr(ns, attr)]
+            if getattr(ns, "known_intrinsics", False):
+                cmd.append("--known-intrinsics")
+            if getattr(ns, "triangulation", False):
+                cmd.append("--triangulation")
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=7200)
+            if out.returncode != 0:
+                return {"status": "failed",
+                        "error": out.stderr[-500:] or f"rc={out.returncode}"}
+            return json.loads(out.stdout.strip().splitlines()[-1])
         return _run_scene(ns)
 
     run_eval_scenes(
@@ -462,6 +489,11 @@ def main(argv=None) -> int:
     se.add_argument("--scene-list", default=None, dest="scene_list",
                     help="comma-separated scene names to include")
     se.add_argument("--exclude-scenes", default=None, dest="exclude_scenes")
+    se.add_argument("--isolate-scenes", action="store_true",
+                    dest="isolate_scenes",
+                    help="run each scene in a subprocess so native crashes"
+                         " or OOMs kill only that scene (reference Ray-"
+                         "worker isolation)")
     se.add_argument("--imc-bags", action="store_true", dest="imc_bags",
                     help="group metrics by IMC Nbag markers in scene names")
     add_common(se)

@@ -7,16 +7,17 @@ design:
   * Static shapes everywhere: observations are padded (O,) arrays with a
     validity mask; cameras and points are padded blocks. One compiled
     program per (C, P, O, T_max) bucket serves every LM iteration.
-  * Per-observation 2x(7|3) Jacobians come from vmapped jacfwd of the
+  * Per-observation 2x(8|3) Jacobians come from vmapped jacfwd of the
     projection residual — exact derivatives, no hand-coded chain rule.
   * The camera-block Schur complement S = U - W V^{-1} W^T is assembled by
     regrouping observations into per-point padded tracks and scatter-adding
-    the (T x T) camera-pair outer products into a dense (C*7, C*7) system;
+    the (T x T) camera-pair outer products into a dense (C*8, C*8) system;
     for C <= a few hundred a dense Cholesky on the MXU beats any sparse
     solver. (Multi-host sharding of the point reduction rides the same
     segment-sum structure — the obs arrays shard over "data".)
-  * Camera block = 6-dof pose ⊕ log-focal (7 params); the focal column is
-    masked out when intrinsics are fixed, so one program covers both modes.
+  * Camera block = 6-dof pose ⊕ log-focal ⊕ radial k1 (8 params); the
+    focal/k1 columns are masked by refine flags, so one program covers all
+    modes. Gauge-fixed cameras freeze only the pose columns.
   * Gauge: `fixed_cams` masks whole camera blocks (identity rows in S), the
     mapper fixes the two init images / the refiner's farthest pair
     (reference write_fixed_images.py contract).
@@ -106,7 +107,7 @@ def _huber_weight(r2, delta):
 def _jacobians(prob: BAProblem):
     """Per-observation residuals + Jacobians at the current state.
 
-    Returns r (O, 2), A (O, 2, 7), B (O, 2, 3), already masked and
+    Returns r (O, 2), A (O, 2, 8), B (O, 2, 3), already masked and
     Huber-weighted.
     """
     R0 = prob.cam_R[prob.obs_cam]
@@ -204,7 +205,7 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     V_inv = jnp.linalg.inv(V)
 
     # Per-obs W = A^T B, Y = W V^{-1}
-    W = jnp.einsum("oik,oil->okl", Aw, Bw)          # (O, 7, 3)
+    W = jnp.einsum("oik,oil->okl", Aw, Bw)          # (O, 8, 3)
     Y = jnp.einsum("okl,olm->okm", W, V_inv[prob.obs_pt])
 
     # Reduced rhs: b̃_c = b_cam - sum_obs Y_o b_pt[pt(o)]
@@ -313,7 +314,7 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     V = V + lam * (V * eyeP) + 1e-8 * eyeP
     V_inv = jnp.linalg.inv(V)
 
-    W = jnp.einsum("oik,oil->okl", Aw, Bw)               # (O, 7, 3)
+    W = jnp.einsum("oik,oil->okl", Aw, Bw)               # (O, 8, 3)
     Y = jnp.einsum("okl,olm->okm", W, V_inv[prob.obs_pt])
 
     occupied = jax.ops.segment_sum(
@@ -355,7 +356,7 @@ def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
     def M_inv(v):
         return jnp.einsum("ckl,cl->ck", D_inv, v)
 
-    # PCG on (C, 7) with tolerance-based early exit (Ceres' per-LM-iteration
+    # PCG on (C, 8) with tolerance-based early exit (Ceres' per-LM-iteration
     # forcing term: stop at ||r|| <= cg_rtol * ||b||). A while_loop, not a
     # fixed fori_loop — converged solves stop paying for the remaining
     # iterations (VERDICT r2 weak #8). The iteration count is returned so
