@@ -90,11 +90,28 @@ def _run_scene(args) -> dict:
             float(t) for t in args.refine_thresholds.split(","))
     if getattr(args, "reregister_every", None):
         refine_kw["reregister_every"] = args.reregister_every
+    fused = getattr(args, "fused", "auto")
+    if fused == "auto":
+        # The fused Pallas dual-softmax never materializes the (L, S) conf
+        # matrix — the only viable path at 1600 px and faster at 832 px.
+        # Dense stays the default off-TPU (Pallas interpret would crawl).
+        import jax
+
+        fused = jax.default_backend() == "tpu"
+    else:
+        fused = fused == "on"
+    bs = getattr(args, "match_batch_size", None)
+    if bs is None:
+        import jax
+
+        bs = 8 if jax.default_backend() == "tpu" else 1
     cfg = PipelineConfig(
         img_resize=args.img_resize,
         match_threshold=args.match_threshold,
         match_type=getattr(args, "match_type", "coarse_only"),
         round_matches_ratio=getattr(args, "round_matches_ratio", None),
+        fused_matching=fused,
+        batch_size=bs,
         n_refine_iters=args.refine_iters,
         refine=RefineConfig(**refine_kw),
         triangulation_mode=args.triangulation,
@@ -431,6 +448,14 @@ def main(argv=None) -> int:
                         dest="round_matches_ratio",
                         help="quantize match coords to an N-px grid before "
                              "keypoint merge (reference round_matches_ratio)")
+        sp.add_argument("--match-batch-size", type=int, default=None,
+                        dest="match_batch_size",
+                        help="pairs per device per matching step (default:"
+                             " 8 on TPU, 1 elsewhere)")
+        sp.add_argument("--fused", default="auto",
+                        choices=("auto", "on", "off"),
+                        help="fused Pallas dual-softmax matching (auto: on"
+                             " when running on TPU)")
         sp.add_argument("--match-threshold", type=float, default=0.2,
                         dest="match_threshold")
         sp.add_argument("--refine-iters", type=int, default=2, dest="refine_iters")

@@ -135,11 +135,12 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     r, A, B = _jacobians(prob)
     w = _huber_weight(jnp.sum(r * r, -1), huber_delta)
     w = w * prob.obs_mask.astype(w.dtype)
-    # Per-camera COLUMN mask: gauge-fixed cameras freeze only their 6 pose
-    # DOF — their intrinsic columns (log-focal, k1) stay live exactly like
-    # COLMAP/Ceres, which fixes extrinsics of gauge images but keeps
-    # refining intrinsics. Focal/distortion columns are additionally gated
-    # by the refine flags.
+    # Per-camera COLUMN mask: gauge-fixed cameras freeze their 6 pose DOF
+    # AND their focal column (the two anchor focals pin the focal/depth
+    # gauge in unknown-intrinsics scenes — letting them float regressed the
+    # demo scene 8/8 -> 6/8), but their DISTORTION column stays live: k1 is
+    # a lens property with no gauge coupling, and freezing it on gauge
+    # cameras left their k1 stuck at 0 (tests/test_simple_radial.py).
     C = prob.cam_R.shape[0]
     dtype = A.dtype
     focal_on = prob.refine_focal.astype(dtype)
@@ -147,7 +148,7 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     pose_free = (1.0 - prob.fixed_cams.astype(dtype))[:, None]   # (C, 1)
     cam_col = jnp.concatenate([
         jnp.broadcast_to(pose_free, (C, 6)),
-        jnp.full((C, 1), focal_on, dtype),
+        focal_on * pose_free,
         jnp.full((C, 1), dist_on, dtype),
     ], axis=1)                                                    # (C, 8)
     A = A * cam_col[prob.obs_cam][:, None, :]
@@ -425,6 +426,7 @@ def bundle_adjust(
     mesh=None,               # jax.sharding.Mesh -> shard obs over "data"
     schur_mode: str = "auto",  # "dense" | "pcg" | "auto" (pcg past 120 cams)
     cg_iters: int = 100,
+    cg_rtol: float = 1e-2,   # CG forcing term (||r|| <= rtol ||b||)
     verbose: bool = False,
 ):
     """Host LM driver around the jitted Schur step.
@@ -542,7 +544,7 @@ def bundle_adjust(
         cg_used = 0
         if use_pcg:
             cam_R, cam_t, new_intr, new_pts, cg_used = lm_step_pcg(
-                prob, jnp.asarray(lam, dt), huber_delta, cg_iters
+                prob, jnp.asarray(lam, dt), huber_delta, cg_iters, cg_rtol
             )
             cg_used = int(cg_used)
         else:
