@@ -295,7 +295,8 @@ def cmd_train(args) -> int:
     rng = jax.random.PRNGKey(cfg.seed)
     step = 0
     max_steps = getattr(args, "max_steps", None)
-    for epoch in range(args.epochs):
+    ep0 = getattr(args, "start_epoch", 0)
+    for epoch in range(ep0, ep0 + args.epochs):
         ids = sampler.epoch(epoch)
         for start in range(0, len(ids) - args.batch_size + 1, args.batch_size):
             chunk = ids[start : start + args.batch_size]
@@ -538,6 +539,9 @@ def main(argv=None) -> int:
     st.add_argument("--init-ckpt", default=None, dest="init_ckpt",
                     help="warm-start from a previous checkpoint")
     st.add_argument("--max-steps", type=int, default=None, dest="max_steps")
+    st.add_argument("--start-epoch", type=int, default=0, dest="start_epoch",
+                    help="first epoch number (sampler RNG; lets one-epoch-"
+                         "per-process runs chain via --init-ckpt)")
     st.set_defaults(fn=cmd_train)
 
     sm = sub.add_parser("train-matcher", help="train the coarse matcher")

@@ -23,6 +23,7 @@ import numpy as np
 
 def scene_epipolar_errors(scene_dir: str, out_dir: str):
     from detectorfreesfm_tpu.data.h5io import load_h5
+    from detectorfreesfm_tpu.core.geometry import np_quat_to_rotmat
     from detectorfreesfm_tpu.pipeline import read_intrin_txt, read_pose_txt
 
     kp = load_h5(os.path.join(out_dir, "keypoints.h5"))
@@ -43,8 +44,10 @@ def scene_epipolar_errors(scene_dir: str, out_dir: str):
         sa, sb = stem(a), stem(b)
         if sa not in poses or sb not in poses:
             continue
-        Ra, ta = poses[sa]
-        Rb, tb = poses[sb]
+        qa, ta = poses[sa]
+        qb, tb = poses[sb]
+        Ra = np_quat_to_rotmat(np.asarray(qa)[None])[0]
+        Rb = np_quat_to_rotmat(np.asarray(qb)[None])[0]
         Ka, Kb = intrins[sa], intrins[sb]
         # relative pose b<-a
         R = Rb @ Ra.T

@@ -34,6 +34,7 @@ def main():
 
     from detectorfreesfm_tpu.match.engine import EngineConfig, PairMatchingEngine
     from detectorfreesfm_tpu.models.loftr import MatcherConfig
+    from detectorfreesfm_tpu.core.geometry import np_quat_to_rotmat
     from detectorfreesfm_tpu.pipeline import read_intrin_txt, read_pose_txt
     from detectorfreesfm_tpu.train.selfsup import load_matcher_params
 
@@ -69,8 +70,10 @@ def main():
         errs, counts = [], []
         for (a, b), m in raw.items():
             sa, sb = os.path.splitext(a)[0], os.path.splitext(b)[0]
-            Ra, ta = poses[sa]
-            Rb, tb = poses[sb]
+            qa, ta = poses[sa]
+            qb, tb = poses[sb]
+            Ra = np_quat_to_rotmat(np.asarray(qa)[None])[0]
+            Rb = np_quat_to_rotmat(np.asarray(qb)[None])[0]
             R = Rb @ Ra.T
             t = tb - R @ ta
             tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
