@@ -182,10 +182,16 @@ class DetectorFreeMatcher(nn.Module):
             from ..ops.pallas_dsm import fused_extract_matches
 
             conf = None
+            # 1024-row tiles win ~8% at 1600 px (40k tokens) but OOM VMEM
+            # at 832 px under batch vmap (observed: compile-helper OOM
+            # "on stack" for the vmapped lse output); use them only on the
+            # long-sequence maps they were swept on.
+            tl = cfg.dsm_tile_l if h8 * w8 >= 32768 else min(
+                cfg.dsm_tile_l, 512)
             matches = fused_extract_matches(
                 c0, c1, mask0, mask1, cfg.match_threshold, cfg.max_matches,
                 temperature=cfg.dsoftmax_temperature,
-                tile_l=cfg.dsm_tile_l, tile_s=cfg.dsm_tile_s,
+                tile_l=tl, tile_s=cfg.dsm_tile_s,
             )
         else:
             conf = dual_softmax_confidence(
