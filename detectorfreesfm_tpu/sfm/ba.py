@@ -18,9 +18,17 @@ design:
   * Camera block = 6-dof pose ⊕ log-focal ⊕ radial k1 (8 params); the
     focal/k1 columns are masked by refine flags, so one program covers all
     modes. Gauge-fixed cameras freeze only the pose columns.
-  * Gauge: `fixed_cams` masks whole camera blocks (identity rows in S), the
-    mapper fixes the two init images / the refiner's farthest pair
-    (reference write_fixed_images.py contract).
+  * Gauge: with exactly two `fixed_cams` the wrapper freezes a proper
+    7-DOF similarity gauge — camera A's full pose (6) plus ONE translation
+    component of camera B (the one most aligned with the scale direction),
+    COLMAP BundleAdjustmentConfig semantics. Camera B's rotation and the
+    remaining translation DOF stay LIVE, so BA can correct an imperfect
+    two-view init instead of warping the whole map around it (freezing
+    both poses over-constrains by 5 DOF and locks init error in). Both
+    anchors' focals stay frozen (focal/depth gauge in unknown-intrinsics
+    scenes). Any other fixed count freezes those cameras fully (the
+    triangulation-mode / known-poses contract; reference
+    write_fixed_images.py fix_farest_images).
   * Robustness: Huber weights re-evaluated each iteration (IRLS form).
 
 Scene normalization (centering + unit scale) is applied by the host wrapper
@@ -56,7 +64,8 @@ class BAProblem(NamedTuple):
     obs_mask: jax.Array     # (O,) bool
     track_obs: jax.Array    # (P, T) int32 obs index per point (padded with O)
     track_mask: jax.Array   # (P, T) bool
-    fixed_cams: jax.Array   # (C,) bool — gauge-fixed camera blocks
+    fixed_cams: jax.Array   # (C,) bool — anchor cameras (focal gauge)
+    pose_free: jax.Array    # (C, 6) float — per-pose-column freedom mask
     refine_focal: jax.Array # () bool
     refine_dist: jax.Array  # () bool — refine the radial k1 column
 
@@ -135,20 +144,22 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
     r, A, B = _jacobians(prob)
     w = _huber_weight(jnp.sum(r * r, -1), huber_delta)
     w = w * prob.obs_mask.astype(w.dtype)
-    # Per-camera COLUMN mask: gauge-fixed cameras freeze their 6 pose DOF
-    # AND their focal column (the two anchor focals pin the focal/depth
-    # gauge in unknown-intrinsics scenes — letting them float regressed the
-    # demo scene 8/8 -> 6/8), but their DISTORTION column stays live: k1 is
-    # a lens property with no gauge coupling, and freezing it on gauge
+    # Per-camera COLUMN mask. Pose columns come from the wrapper-built
+    # pose_free mask (7-DOF similarity gauge for two anchors, full freeze
+    # otherwise — see bundle_adjust). Anchor cameras additionally freeze
+    # their focal column (the two anchor focals pin the focal/depth gauge
+    # in unknown-intrinsics scenes — letting them float regressed the demo
+    # scene 8/8 -> 6/8), but their DISTORTION column stays live: k1 is a
+    # lens property with no gauge coupling, and freezing it on gauge
     # cameras left their k1 stuck at 0 (tests/test_simple_radial.py).
     C = prob.cam_R.shape[0]
     dtype = A.dtype
     focal_on = prob.refine_focal.astype(dtype)
     dist_on = prob.refine_dist.astype(dtype)
-    pose_free = (1.0 - prob.fixed_cams.astype(dtype))[:, None]   # (C, 1)
+    anchor_free = (1.0 - prob.fixed_cams.astype(dtype))[:, None]  # (C, 1)
     cam_col = jnp.concatenate([
-        jnp.broadcast_to(pose_free, (C, 6)),
-        focal_on * pose_free,
+        prob.pose_free.astype(dtype),
+        focal_on * anchor_free,
         jnp.full((C, 1), dist_on, dtype),
     ], axis=1)                                                    # (C, 8)
     A = A * cam_col[prob.obs_cam][:, None, :]
@@ -459,6 +470,29 @@ def bundle_adjust(
     R_all = np_quat_to_rotmat(np.asarray(qvec, np.float64))
     t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
 
+    # Gauge pose mask. Exactly two fixed cameras -> proper 7-DOF similarity
+    # gauge: freeze cam A's full pose and the single translation component
+    # of cam B most aligned with the residual scale direction
+    # d t_B/ds = t_B - R_B R_A^T t_A  (= R_B (C_A - C_B), the baseline in
+    # B's frame). Everything else on B stays live so BA can correct an
+    # imperfect init-pair estimate. Any other fixed count: full freeze
+    # (known-poses triangulation contract).
+    fixed = np.asarray(
+        fixed_cams if fixed_cams is not None else np.zeros(C, bool), bool
+    )
+    pose_free_np = np.ones((C, 6), np.float32)
+    fix_idx = np.flatnonzero(fixed)
+    if len(fix_idx) == 2:
+        a, b = int(fix_idx[0]), int(fix_idx[1])
+        pose_free_np[a] = 0.0
+        d = t_n[b] - R_all[b] @ R_all[a].T @ t_n[a]
+        if np.max(np.abs(d)) > 1e-12:
+            pose_free_np[b, 3 + int(np.argmax(np.abs(d)))] = 0.0
+        else:  # zero baseline: degenerate pair, pin it fully
+            pose_free_np[b] = 0.0
+    else:
+        pose_free_np[fixed] = 0.0
+
     # Build per-point padded track->obs table (vectorized: rank of each
     # observation within its point's sorted group). The PCG path never
     # touches it — its Schur product is matrix-free — so it gets a minimal
@@ -515,9 +549,8 @@ def bundle_adjust(
         ),
         track_obs=jnp.asarray(track_obs),
         track_mask=jnp.asarray(track_mask),
-        fixed_cams=jnp.asarray(
-            fixed_cams if fixed_cams is not None else np.zeros(C, bool)
-        ),
+        fixed_cams=jnp.asarray(fixed),
+        pose_free=jnp.asarray(pose_free_np),
         refine_focal=jnp.asarray(refine_focal),
         refine_dist=jnp.asarray(refine_dist),
     )

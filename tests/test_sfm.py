@@ -346,3 +346,80 @@ def test_bundle_adjustment_pcg_500_cameras():
         errs.append(np.linalg.norm(uv[:, :2] - obs_uv[sel], axis=1))
     mean_err = float(np.mean(np.concatenate(errs)))
     assert mean_err < 1.0, mean_err
+
+
+def test_gauge_recovers_perturbed_init_pair_rotation():
+    """The 7-DOF similarity gauge must let BA correct an imperfect init-pair
+    estimate. With BOTH anchor poses fully frozen (the pre-round-3-fix
+    behavior, 12 frozen DOF vs the 7-DOF gauge freedom) a rotation error on
+    the second anchor is locked in and the whole map warps around it; with
+    the proper gauge (anchor A full + one translation component of anchor B,
+    COLMAP BundleAdjustmentConfig semantics) the error must vanish."""
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat, so3_exp
+
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=5, n_pts=150, seed=13)
+    C, P = 5, 150
+    qvec = np.array(rotmat_to_quat(jnp.asarray(np.stack(Rs))))
+    tvec = np.stack(ts)
+    # Perturb the SECOND gauge camera's rotation by ~2 deg (typical two-view
+    # init error from grid-quantized matches); observations stay perfect.
+    dR = np.asarray(so3_exp(jnp.asarray([0.02, -0.025, 0.01])))
+    R1 = dR @ Rs[1]
+    qvec[1] = np.asarray(rotmat_to_quat(jnp.asarray(R1)))
+
+    obs_uv = np.concatenate(uvs)
+    obs_cam = np.repeat(np.arange(C), P)
+    obs_pt = np.tile(np.arange(P), C)
+    intr = np.tile(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), (C, 1))
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+
+    q2, t2, _, pts2, _ = bundle_adjust(
+        qvec, tvec, intr, pts, obs_uv, obs_cam, obs_pt,
+        fixed_cams=fixed, max_iters=25,
+    )
+    # Anchor A must not have moved at all
+    np.testing.assert_allclose(q2[0], qvec[0], atol=1e-7)
+    np.testing.assert_allclose(t2[0], tvec[0], atol=1e-7)
+    # Anchor B's rotation must be recovered to GT (it started ~2 deg off)
+    R1_est = np.asarray(quat_to_rotmat(jnp.asarray(q2[1])))
+    err_deg = float(rotation_angle_deg(jnp.asarray(R1_est @ Rs[1].T)))
+    assert err_deg < 0.1, err_deg
+    # And every camera must be back at GT (gauge is anchored at GT cam A +
+    # a GT translation component of cam B, so recovery is exact, not just
+    # up-to-similarity)
+    for i in range(C):
+        Ri = np.asarray(quat_to_rotmat(jnp.asarray(q2[i])))
+        e = float(rotation_angle_deg(jnp.asarray(Ri @ Rs[i].T)))
+        assert e < 0.1, (i, e)
+
+
+def test_gauge_full_freeze_with_known_poses():
+    """Triangulation mode fixes ALL cameras: every pose must stay bit-close
+    to its input (only points move)."""
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=4, n_pts=80, seed=14)
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat
+
+    C, P = 4, 80
+    qvec = np.array(rotmat_to_quat(jnp.asarray(np.stack(Rs))))
+    tvec = np.stack(ts)
+    rng = np.random.default_rng(15)
+    pts_noisy = pts + rng.normal(0, 0.05, pts.shape)
+    obs_uv = np.concatenate(uvs)
+    obs_cam = np.repeat(np.arange(C), P)
+    obs_pt = np.tile(np.arange(P), C)
+    intr = np.tile(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), (C, 1))
+    fixed = np.ones(C, bool)
+
+    q2, t2, _, pts2, _ = bundle_adjust(
+        qvec, tvec, intr, pts_noisy, obs_uv, obs_cam, obs_pt,
+        fixed_cams=fixed, max_iters=10,
+    )
+    # quat sign is gauge-free: compare rotations
+    for i in range(C):
+        Ri = np.asarray(quat_to_rotmat(jnp.asarray(q2[i])))
+        e = float(rotation_angle_deg(jnp.asarray(Ri @ Rs[i].T)))
+        assert e < 0.05, (i, e)  # f32 quat<->R roundtrip noise only
+    np.testing.assert_allclose(t2, tvec, atol=1e-4)
+    err = np.linalg.norm(pts2 - pts, axis=1)
+    assert float(np.median(err)) < 0.01
