@@ -131,11 +131,21 @@ def _load_photo_gray(path: str) -> np.ndarray:
     return img
 
 
-def _photo_texture(rng, n: int, pool: Tuple[str, ...]) -> np.ndarray:
-    """Random crop of a random real photo, resized to (n, n)."""
+def _photo_texture(rng, n: int, pool: Tuple[str, ...],
+                   photo_idx: int | None = None) -> np.ndarray:
+    """Random crop of a real photo, resized to (n, n).
+
+    photo_idx pins the source photo: planes of one scene must draw DISTINCT
+    photos — two planes cropping the same photo put repeated texture in one
+    scene, and the matcher then produces a COHERENT set of cross-plane
+    matches that supports a spurious epipolar geometry with more RANSAC
+    inliers than the true one (diagnosed round 3: ~half the synth5 eval
+    scenes collapsed to 20-40 deg pose error from exactly this)."""
     from PIL import Image as PILImage
 
-    img = _load_photo_gray(pool[int(rng.integers(len(pool)))])
+    if photo_idx is None:
+        photo_idx = int(rng.integers(len(pool)))
+    img = _load_photo_gray(pool[photo_idx % len(pool)])
     h, w = img.shape
     side = int(rng.uniform(0.4, 1.0) * min(h, w))
     side = max(side, 64)
@@ -156,9 +166,11 @@ def _photo_texture(rng, n: int, pool: Tuple[str, ...]) -> np.ndarray:
     return out
 
 
-def _make_texture(rng, cfg: SyntheticConfig) -> np.ndarray:
+def _make_texture(rng, cfg: SyntheticConfig,
+                  photo_idx: int | None = None) -> np.ndarray:
     if cfg.texture_photos and rng.random() < cfg.photo_texture_prob:
-        return _photo_texture(rng, cfg.texture_size, cfg.texture_photos)
+        return _photo_texture(rng, cfg.texture_size, cfg.texture_photos,
+                              photo_idx=photo_idx)
     return _multi_octave_texture(rng, cfg.texture_size)
 
 
@@ -174,6 +186,15 @@ class _Plane:
 def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
     planes = []
     zc = np.linspace(cfg.depth_range[0], cfg.depth_range[1], cfg.n_planes)
+    # Distinct source photo per plane (incl. background): a without-
+    # replacement draw over the pool, so no two surfaces of one scene carry
+    # the same texture (see _photo_texture docstring for why this matters).
+    n_tex = cfg.n_planes + 1
+    if cfg.texture_photos:
+        perm = rng.permutation(
+            max(len(cfg.texture_photos), n_tex))[:n_tex]
+    else:
+        perm = np.zeros(n_tex, np.int64)
     for i in range(cfg.n_planes):
         center = np.array([
             rng.uniform(-2.5, 2.5), rng.uniform(-2.0, 2.0), zc[i]
@@ -187,7 +208,7 @@ def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
         half = rng.uniform(1.0, 2.6)
         planes.append(_Plane(
             p0=center, n=n, ax_u=u * half, ax_v=v * half * rng.uniform(0.6, 1.2),
-            tex=_make_texture(rng, cfg),
+            tex=_make_texture(rng, cfg, photo_idx=int(perm[i])),
         ))
     # Background plane (always hit)
     planes.append(_Plane(
@@ -195,7 +216,7 @@ def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
         n=np.array([0.0, 0.0, -1.0]),
         ax_u=np.array([cfg.background_half, 0.0, 0.0]),
         ax_v=np.array([0.0, cfg.background_half, 0.0]),
-        tex=_make_texture(rng, cfg),
+        tex=_make_texture(rng, cfg, photo_idx=int(perm[-1])),
     ))
     return planes
 
