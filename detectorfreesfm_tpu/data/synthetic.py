@@ -191,8 +191,16 @@ def _make_world(rng, cfg: SyntheticConfig) -> List[_Plane]:
     # the same texture (see _photo_texture docstring for why this matters).
     n_tex = cfg.n_planes + 1
     if cfg.texture_photos:
-        perm = rng.permutation(
-            max(len(cfg.texture_photos), n_tex))[:n_tex]
+        if len(cfg.texture_photos) < n_tex:
+            # A pool smaller than n_planes+1 cannot give every surface a
+            # distinct photo — indices past the pool would wrap via
+            # `% len(pool)` in _photo_texture and silently reintroduce the
+            # duplicate-texture degeneracy (advisor r3). Fail loudly.
+            raise ValueError(
+                f"texture pool has {len(cfg.texture_photos)} photos but "
+                f"n_planes+1={n_tex} distinct textures are needed — add "
+                f"photos or lower n_planes")
+        perm = rng.permutation(len(cfg.texture_photos))[:n_tex]
     else:
         perm = np.zeros(n_tex, np.int64)
     for i in range(cfg.n_planes):

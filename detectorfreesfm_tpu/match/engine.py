@@ -83,6 +83,19 @@ class PairMatchingEngine:
             )
         s = cfg.img_resize
         if params is None:
+            # Random weights produce garbage matches that LOOK like a
+            # pipeline bug downstream — make it impossible to miss
+            # (VERDICT r3 #4; the CLI never takes this path: it loads the
+            # bundled default or exits).
+            import sys
+
+            print(
+                "WARNING: PairMatchingEngine initialized with RANDOM "
+                "matcher weights (params=None) — matches will be noise. "
+                "Pass trained params (e.g. "
+                "weights/demo_matcher_r3_bf16.msgpack).",
+                file=sys.stderr,
+            )
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, s, s, 1), jnp.float32)
             hw = jnp.asarray([[s, s]], jnp.int32)

@@ -269,7 +269,10 @@ def reconstruct_scene(
                 1.0 / li.scale[0], 1.0 / li.scale[1]
             )
         rcfg = dataclasses.replace(
-            cfg.refine, n_iters=cfg.n_refine_iters, save_iters_to=output_dir
+            cfg.refine, n_iters=cfg.n_refine_iters, save_iters_to=output_dir,
+            # Known-poses triangulation keeps poses frozen through refinement
+            # (reference post_optimization.py:183-187 fix_all_images)
+            fix_all_poses=cfg.triangulation_mode or cfg.refine.fix_all_poses,
         )
         refine_reconstruction(
             rec, images_by_id, params=refiner_params, cfg=rcfg,
@@ -358,8 +361,10 @@ def _triangulate_known_poses(
         pid = rec.add_point(xyz, obs)
         if pid >= 0:
             mapper.track_pid[tid] = pid
-    # Structure-only BA: every camera fixed
-    mapper.global_ba(rec, fixed_ids=set(rec.registered_images))
+    # Structure-only BA: every camera fixed COMPLETELY (gauge="full") —
+    # with exactly 2 known-pose cameras the similarity gauge would silently
+    # re-optimize the second GT pose (advisor r3, reproduced 0.57 deg drift).
+    mapper.global_ba(rec, fixed_ids=set(rec.registered_images), gauge="full")
     mapper.filter_points(rec, cfg.filter_max_reproj_error, cfg.min_tri_angle_deg)
     return rec
 

@@ -65,6 +65,10 @@ class RefineConfig:
     # perturbs keypoints and relies on the filter to claw back — never what
     # a user wants in production. Tests/bootstrap opt in explicitly.
     allow_random_weights: bool = False
+    # Triangulation mode: known GT poses stay frozen through refinement BA
+    # (reference post_optimization.py:183-187 fix_all_images when
+    # refine_3D_pts_only) and PnP re-registration is skipped.
+    fix_all_poses: bool = False
     compute_dtype: str = "float32"
     save_iters_to: str | None = None  # write model_refined_{i}/ per iteration
                                       # (reference post_optimization artifact)
@@ -269,14 +273,19 @@ def _refine_iteration(
         n_completed = (
             m.complete_tracks(rec, thr) if hasattr(m, "kpt_track") else 0
         )
-        m.global_ba(rec, fixed_ids=_farthest_pair(rec))
+        if cfg.fix_all_poses:  # triangulation mode: structure-only BA
+            m.global_ba(rec, fixed_ids=set(rec.registered_images),
+                        gauge="full")
+        else:
+            m.global_ba(rec, fixed_ids=_farthest_pair(rec))
         n_rm = m.filter_points(rec, thr, cfg.min_tri_angle_deg)
     if verbose:
         print(f"  BA done at {thr}px: merged {n_merged}, "
               f"completed {n_completed}, filtered {n_rm}")
 
     # Re-registration of dropped images (even iterations), relaxed thresholds
-    if (it % cfg.reregister_every) == 0 and mapper is not None:
+    if (it % cfg.reregister_every) == 0 and mapper is not None \
+            and not cfg.fix_all_poses:
         for img_id in list(rec.images):
             if not rec.images[img_id].registered:
                 ok = mapper._try_register(

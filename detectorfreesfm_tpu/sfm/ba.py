@@ -438,6 +438,7 @@ def bundle_adjust(
     schur_mode: str = "auto",  # "dense" | "pcg" | "auto" (pcg past 120 cams)
     cg_iters: int = 100,
     cg_rtol: float = 1e-2,   # CG forcing term (||r|| <= rtol ||b||)
+    gauge: str = "auto",     # "similarity" | "full" | "auto"
     verbose: bool = False,
 ):
     """Host LM driver around the jitted Schur step.
@@ -470,19 +471,32 @@ def bundle_adjust(
     R_all = np_quat_to_rotmat(np.asarray(qvec, np.float64))
     t_n = (np.einsum("cij,j->ci", R_all, center) + tvec) / scale
 
-    # Gauge pose mask. Exactly two fixed cameras -> proper 7-DOF similarity
-    # gauge: freeze cam A's full pose and the single translation component
-    # of cam B most aligned with the residual scale direction
-    # d t_B/ds = t_B - R_B R_A^T t_A  (= R_B (C_A - C_B), the baseline in
-    # B's frame). Everything else on B stays live so BA can correct an
-    # imperfect init-pair estimate. Any other fixed count: full freeze
-    # (known-poses triangulation contract).
+    # Gauge pose mask, selected EXPLICITLY by the caller (not inferred from
+    # the fixed count — a known-poses 2-camera scene must NOT get the
+    # similarity gauge; see triangulate_known_poses):
+    #   "similarity": proper 7-DOF gauge over exactly two anchor cameras —
+    #     freeze cam A's full pose and the single translation component of
+    #     cam B most aligned with the residual scale direction
+    #     d t_B/ds = t_B - R_B R_A^T t_A  (= R_B (C_A - C_B), the baseline
+    #     in B's frame). Everything else on B stays live so BA can correct
+    #     an imperfect init-pair estimate.
+    #   "full": every fixed camera's pose is frozen completely (known-poses
+    #     triangulation contract — COLMAP BundleAdjustmentConfig constant
+    #     poses, reference write_fixed_images.py:31).
+    #   "auto": legacy inference — similarity iff exactly 2 fixed.
     fixed = np.asarray(
         fixed_cams if fixed_cams is not None else np.zeros(C, bool), bool
     )
     pose_free_np = np.ones((C, 6), np.float32)
     fix_idx = np.flatnonzero(fixed)
-    if len(fix_idx) == 2:
+    if gauge not in ("similarity", "full", "auto"):
+        raise ValueError(f"unknown gauge {gauge!r}")
+    if gauge == "similarity" and len(fix_idx) != 2:
+        raise ValueError(
+            f"gauge='similarity' needs exactly 2 fixed cameras, got "
+            f"{len(fix_idx)}")
+    use_sim = gauge == "similarity" or (gauge == "auto" and len(fix_idx) == 2)
+    if use_sim:
         a, b = int(fix_idx[0]), int(fix_idx[1])
         pose_free_np[a] = 0.0
         d = t_n[b] - R_all[b] @ R_all[a].T @ t_n[a]

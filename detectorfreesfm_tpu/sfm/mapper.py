@@ -12,6 +12,7 @@ power-of-two sizes so a handful of compilations serve a whole dataset.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -626,12 +627,17 @@ class IncrementalMapper:
     # -- BA + filtering ------------------------------------------------------------
 
     def global_ba(self, rec: Reconstruction, fixed_ids: Optional[set] = None,
-                  mesh="auto"):
+                  mesh="auto", gauge: str = "similarity"):
         """Global bundle adjustment over the registered model.
 
         mesh="auto" shards the observation reductions over the process mesh
         whenever >1 device is visible (sharded and single-device paths are
-        bit-equal — tests/test_sfm.py); pass None to force single-device."""
+        bit-equal — tests/test_sfm.py); pass None to force single-device.
+
+        gauge: "similarity" (default — fixed_ids are the two init anchors,
+        7-DOF gauge, anchor B mostly live) or "full" (every fixed camera's
+        pose frozen completely — the known-poses triangulation contract;
+        callers with GT poses MUST pass this explicitly)."""
         reg = sorted(rec.registered_images)
         if len(reg) < 2 or not rec.points:
             return
@@ -680,6 +686,13 @@ class IncrementalMapper:
             # Gauge: fix the first two registered images
             fixed_ids = set(reg[:2])
         fixed = np.array([i in fixed_ids for i in reg])
+        if gauge == "similarity" and int(fixed.sum()) != 2:
+            # Degenerate anchor set (e.g. coincident camera centers collapsed
+            # the farthest pair to one id): fall back to full freeze rather
+            # than crash mid-reconstruction.
+            print(f"global_ba: similarity gauge needs 2 anchors, got "
+                  f"{int(fixed.sum())} -> full freeze", file=sys.stderr)
+            gauge = "full"
         if mesh == "auto":
             mesh = None
             if jax.device_count() > 1:
@@ -696,6 +709,7 @@ class IncrementalMapper:
             refine_dist=refine_dist,
             huber_delta=4.0,
             mesh=mesh,
+            gauge=gauge,
         )
         for i, img_id in enumerate(reg):
             rec.set_pose(img_id, q2[i], t2[i])

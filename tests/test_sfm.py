@@ -423,3 +423,42 @@ def test_gauge_full_freeze_with_known_poses():
     np.testing.assert_allclose(t2, tvec, atol=1e-4)
     err = np.linalg.norm(pts2 - pts, axis=1)
     assert float(np.median(err)) < 0.01
+
+
+def test_gauge_full_freeze_two_cameras():
+    """Advisor r3 (medium): a known-poses scene with EXACTLY 2 registered
+    images must not silently get the similarity gauge (which re-optimizes
+    the second GT pose — reproduced 0.57 deg drift). gauge='full' must hold
+    both poses bit-close regardless of the fixed-camera count."""
+    from detectorfreesfm_tpu.core.geometry import rotmat_to_quat
+
+    pts, K, Rs, ts, uvs = _synthetic_scene(n_cams=2, n_pts=80, seed=16)
+    C, P = 2, 80
+    qvec = np.array(rotmat_to_quat(jnp.asarray(np.stack(Rs))))
+    tvec = np.stack(ts)
+    rng = np.random.default_rng(17)
+    pts_noisy = pts + rng.normal(0, 0.05, pts.shape)
+    obs_uv = np.concatenate(uvs)
+    obs_cam = np.repeat(np.arange(C), P)
+    obs_pt = np.tile(np.arange(P), C)
+    intr = np.tile(np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), (C, 1))
+    fixed = np.ones(C, bool)
+
+    q2, t2, _, pts2, _ = bundle_adjust(
+        qvec, tvec, intr, pts_noisy, obs_uv, obs_cam, obs_pt,
+        fixed_cams=fixed, max_iters=10, gauge="full",
+    )
+    for i in range(C):
+        Ri = np.asarray(quat_to_rotmat(jnp.asarray(q2[i])))
+        e = float(rotation_angle_deg(jnp.asarray(Ri @ Rs[i].T)))
+        assert e < 0.05, (i, e)
+    np.testing.assert_allclose(t2, tvec, atol=1e-4)
+    # and the explicit-similarity contract: wrong count must raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        bundle_adjust(
+            qvec, tvec, intr, pts_noisy, obs_uv, obs_cam, obs_pt,
+            fixed_cams=fixed[:1].repeat(2) & np.array([True, False]),
+            max_iters=1, gauge="similarity",
+        )

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--img-resize", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument("--matcher", default="loftr",
+                    help="loftr | aspan | matchformer — which architecture "
+                         "the checkpoint belongs to")
     args = ap.parse_args()
 
     import jax
@@ -39,14 +42,30 @@ def main():
     from detectorfreesfm_tpu.train.selfsup import load_matcher_params
 
     on_tpu = jax.default_backend() == "tpu"
-    params = load_matcher_params(
-        args.ckpt, cfg=MatcherConfig(
-            compute_dtype="bfloat16" if on_tpu else "float32")
-    )
+    dtype = "bfloat16" if on_tpu else "float32"
+    if args.matcher in ("loftr", "loftr_official", "detectorfree"):
+        params = load_matcher_params(
+            args.ckpt, cfg=MatcherConfig(compute_dtype=dtype))
+    else:
+        # Alt architectures: init a template at the eval size, restore the
+        # trainer checkpoint into it (structure-tolerant).
+        import jax.numpy as jnp
+
+        from detectorfreesfm_tpu.models import build_matcher
+        from detectorfreesfm_tpu.train.selfsup import _from_bytes_any
+
+        model = build_matcher(args.matcher, compute_dtype=dtype)
+        s = args.img_resize
+        dummy = jnp.zeros((1, s, s, 1), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        with open(args.ckpt, "rb") as f:
+            blob = f.read()
+        params = _from_bytes_any(template, blob, args.ckpt)
     engine = PairMatchingEngine(EngineConfig(
         img_resize=args.img_resize, match_threshold=args.threshold,
-        compute_dtype="bfloat16" if on_tpu else "float32",
-        fused_matching=on_tpu, batch_size=4 if on_tpu else 1,
+        matcher=args.matcher, compute_dtype=dtype,
+        fused_matching=on_tpu and args.matcher == "loftr",
+        batch_size=4 if on_tpu else 1,
     ), params=params)
 
     scenes = (args.scenes.split(",") if args.scenes else sorted(
