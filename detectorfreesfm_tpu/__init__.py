@@ -25,6 +25,45 @@ Layering (bottom → top):
 __version__ = "0.1.0"
 
 
+def _enable_persistent_compile_cache():
+    """Persistent XLA compilation cache (opt-out: DFSFM_NO_COMPILE_CACHE=1).
+
+    Every CLI process pays 20-60 s per jit compile over the TPU tunnel
+    (matcher forward, RANSAC buckets, BA Schur steps, refiner crops). The
+    shapes are bucketed and recur across scenes AND processes — a disk cache
+    turns every process after the first into a warm start. XLA keys the
+    cache by platform/HLO/flags, so CPU test runs and TPU runs coexist."""
+    import os
+
+    if os.environ.get("DFSFM_NO_COMPILE_CACHE"):
+        return
+    # CPU-only runs (tests, verify) skip the cache: XLA:CPU AOT reload
+    # warns about machine-feature mismatch (potential SIGILL) even on the
+    # same host — the win is on the TPU tunnel anyway, where every compile
+    # costs 20-60 s of round trips.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "dfsfm_xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that took meaningful compile time (default 1 s
+        # floor skips the small geometry kernels that dominate dispatch
+        # count on the mapper path).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
+
+_enable_persistent_compile_cache()
+
+
 def reconstruct_scene(*args, **kwargs):
     """Convenience re-export of pipeline.reconstruct_scene (lazy import)."""
     from .pipeline import reconstruct_scene as _f

@@ -57,6 +57,11 @@ class MatcherConfig:
     # ADVICE r2 #2.)
     dsm_tile_l: int = 1024
     dsm_tile_s: int = 2048
+    # Schraudolph bit-trick exp in the fused DSM lse pass (~3 VPU ops vs
+    # ~20): the kernel is exp-bound at 1600 px (PERFORMANCE.md). ±3% on the
+    # normalizer shifts confidences a few percent — match sets at the 0.2
+    # threshold are unchanged in the diag (see PERFORMANCE.md r4).
+    dsm_fast_exp: bool = False
 
     @property
     def dtype(self):
@@ -192,6 +197,7 @@ class DetectorFreeMatcher(nn.Module):
                 c0, c1, mask0, mask1, cfg.match_threshold, cfg.max_matches,
                 temperature=cfg.dsoftmax_temperature,
                 tile_l=tl, tile_s=cfg.dsm_tile_s,
+                fast_exp=cfg.dsm_fast_exp,
             )
         else:
             conf = dual_softmax_confidence(

@@ -39,6 +39,28 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
+def _fast_exp(x):
+    """Schraudolph bit-trick exp: ~3 VPU ops vs ~20 for accurate exp.
+
+    exp(x) ≈ bitcast_f32(int32(A·x + B)) with A = 2^23/ln2 and B the f32
+    exponent bias shifted into place, minus a correction that centers the
+    relative error (max ~±3%, mean ~1.5%). The DSM exp streams are
+    VPU-bound (PERFORMANCE.md: ~30 µs exp vs ~3 µs MXU per 512x2048 tile),
+    so the shorter op sequence is a direct wall-clock win; the ±3% on the
+    logsumexp only shifts confidences a few percent, far from the match
+    threshold margins (gated by MatcherConfig.dsm_fast_exp, diag-checked).
+    Inputs are clamped to the f32 exp range so masked -1e9 logits map to 0
+    instead of wrapping the int32 bias arithmetic.
+    """
+    x = jnp.clip(x, -87.0, 87.0)
+    i = (x * 12102203.0 + 1064866805.0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _exp_fn(fast: bool):
+    return _fast_exp if fast else jnp.exp
+
+
 def _sim_tile(f0, f1, m0, m1):
     """(TL, C) x (TS, C) -> masked (TL, TS) f32 logits on the MXU."""
     z = jax.lax.dot_general(
@@ -53,6 +75,7 @@ def _pass1_kernel(
     f0_ref, f1_ref, m0_ref, m1_ref,
     lse_r_ref, lse_c_ref,
     row_m_ref, row_s_ref, col_m_ref, col_s_ref,
+    *, fast_exp=False,
 ):
     """Running row lse (reset per L-tile) + running col lse (whole sweep)."""
     i = pl.program_id(0)
@@ -79,10 +102,11 @@ def _pass1_kernel(
     # from a common tile shift (tried: sum_l e·exp(m_loc-t)·exp(t-cm))
     # silently flushes whole columns to zero. Independent row/col shifts are
     # exactly what keeps the dense path exact at any spread.
+    exp = _exp_fn(fast_exp)  # only the (TL, TS) streams; corrections exact
     m_old = row_m_ref[0, :]
     m_new = jnp.maximum(m_old, jnp.max(z, axis=1))
     row_s_ref[0, :] = row_s_ref[0, :] * jnp.exp(m_old - m_new) + jnp.sum(
-        jnp.exp(z - m_new[:, None]), axis=1
+        exp(z - m_new[:, None]), axis=1
     )
     row_m_ref[0, :] = m_new
 
@@ -91,7 +115,7 @@ def _pass1_kernel(
     cm_old = col_m_ref[0, sl]
     cm_new = jnp.maximum(cm_old, jnp.max(z, axis=0))
     col_s_ref[0, sl] = col_s_ref[0, sl] * jnp.exp(cm_old - cm_new) + jnp.sum(
-        jnp.exp(z - cm_new[None, :]), axis=0
+        exp(z - cm_new[None, :]), axis=0
     )
     col_m_ref[0, sl] = cm_new
 
@@ -169,7 +193,8 @@ def _pad_to(a, n, axis, value):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("temperature", "tile_l", "tile_s", "interpret")
+    jax.jit, static_argnames=("temperature", "tile_l", "tile_s", "interpret",
+                              "fast_exp")
 )
 def dual_softmax_stats(
     feat0: jax.Array,   # (L, C) — one pair (vmap over batch outside)
@@ -180,6 +205,7 @@ def dual_softmax_stats(
     tile_l: int = 512,
     tile_s: int = 2048,
     interpret: bool = False,
+    fast_exp: bool = False,
 ):
     """Returns (lse_r (L,), lse_c (S,), row_max_adj (L,), row_arg (L,),
     col_max_adj (S,), col_arg (S,)), float32/int32.
@@ -216,7 +242,7 @@ def dual_softmax_stats(
                                 memory_space=pltpu.VMEM)
 
     lse_r, lse_c = pl.pallas_call(
-        _pass1_kernel,
+        functools.partial(_pass1_kernel, fast_exp=fast_exp),
         grid=(n_i, n_j),
         in_specs=[spec_f0, spec_f1, spec_m0, spec_m1],
         out_specs=[spec_vl, spec_vs_full],
@@ -269,6 +295,7 @@ def fused_extract_matches(
     tile_l: int = 512,
     tile_s: int = 2048,
     interpret: bool = False,
+    fast_exp: bool = False,
 ):
     """Fused replacement for dual_softmax_confidence + extract_topk_matches.
 
@@ -279,7 +306,8 @@ def fused_extract_matches(
     stats = jax.vmap(
         lambda a, b, ma, mb: dual_softmax_stats(
             a, b, ma, mb, temperature=temperature,
-            tile_l=tile_l, tile_s=tile_s, interpret=interpret
+            tile_l=tile_l, tile_s=tile_s, interpret=interpret,
+            fast_exp=fast_exp,
         )
     )(feat0, feat1, mask0, mask1)
     lse_r, _lse_c, row_max_adj, row_arg, _col_max_adj, col_arg = stats

@@ -138,13 +138,17 @@ def load_refiner_params(path: str, cfg: Optional[RefinerConfig] = None,
                         img_size: int = 64, n_views: int = 4, n_tracks: int = 8):
     cfg = cfg or RefinerConfig()
     model = MultiviewRefiner(cfg)
-    template = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((n_views, img_size, img_size, 1)),
-        jnp.zeros((n_tracks, n_views), jnp.int32),
-        jnp.zeros((n_tracks, n_views, 2), jnp.float32),
-        jnp.ones((n_tracks, n_views), jnp.float32),
-        jnp.zeros((n_tracks, n_views), bool),
-    )
+    # Template init on the CPU backend: it only provides the restore
+    # structure/dtypes (plus fresh leaves for subtrees a ckpt may lack), and
+    # eager init over the TPU tunnel costs minutes of dispatch latency.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((n_views, img_size, img_size, 1)),
+            jnp.zeros((n_tracks, n_views), jnp.int32),
+            jnp.zeros((n_tracks, n_views, 2), jnp.float32),
+            jnp.ones((n_tracks, n_views), jnp.float32),
+            jnp.zeros((n_tracks, n_views), bool),
+        )
     from .selfsup import _from_bytes_any
 
     with open(path, "rb") as f:

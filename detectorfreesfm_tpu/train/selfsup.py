@@ -131,7 +131,11 @@ def load_matcher_params(path: str, img_size: int = 416,
     cfg = cfg or MatcherConfig()
     model = DetectorFreeMatcher(cfg)
     x0 = jnp.zeros((1, img_size, img_size, 1), jnp.float32)
-    template = model.init(jax.random.PRNGKey(0), x0, x0)
+    # Template init on CPU: structure/dtypes only (+ fresh leaves for
+    # subtrees the ckpt may lack) — eager init over the TPU tunnel costs
+    # minutes of dispatch latency per load.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        template = model.init(jax.random.PRNGKey(0), x0, x0)
     with open(path, "rb") as f:
         blob = f.read()
     loaded = _from_bytes_any(template, blob, path)

@@ -83,6 +83,34 @@ def test_fused_matches_equal_dense_path():
         assert inter / union > 0.95, (inter, union)
 
 
+def test_fused_fast_exp_matches_dense_path():
+    """Schraudolph fast-exp lse (dsm_fast_exp): ±3% on the normalizer must
+    not move the match SET meaningfully — same IoU gate as the exact
+    kernel (the perf rationale lives in ops/pallas_dsm._fast_exp)."""
+    f0, f1, m0, m1 = _features(seed=7)
+    conf = dual_softmax_confidence(f0, f1, m0, m1)
+    dense = extract_topk_matches(conf, 0.1, 64)
+    fused = fused_extract_matches(
+        f0, f1, m0, m1, 0.1, 64, interpret=True, fast_exp=True)
+    for b in range(f0.shape[0]):
+        dv = np.asarray(dense.valid[b])
+        fv = np.asarray(fused.valid[b])
+        d_pairs = {
+            (int(i), int(j))
+            for i, j in zip(np.asarray(dense.idx0[b])[dv],
+                            np.asarray(dense.idx1[b])[dv])
+        }
+        f_pairs = {
+            (int(i), int(j))
+            for i, j in zip(np.asarray(fused.idx0[b])[fv],
+                            np.asarray(fused.idx1[b])[fv])
+        }
+        inter = len(d_pairs & f_pairs)
+        union = len(d_pairs | f_pairs)
+        assert union > 20
+        assert inter / union > 0.9, (inter, union)
+
+
 def test_fused_handles_nondivisible_sizes():
     f0, f1, m0, m1 = _features(b=1, l=130, s=77, c=32, seed=5)
     out = fused_extract_matches(f0, f1, m0, m1, 0.05, 32, interpret=True)
