@@ -52,10 +52,11 @@ def _enable_persistent_compile_cache():
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache everything that took meaningful compile time (default 1 s
-        # floor skips the small geometry kernels that dominate dispatch
-        # count on the mapper path).
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        # 2 s floor: TPU-tunnel compiles (the expensive ones) all qualify;
+        # the sub-second XLA:CPU executables (template inits, host-side
+        # helpers) stay OUT — reloading CPU AOT entries spams
+        # machine-feature-mismatch warnings on every run.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
         pass

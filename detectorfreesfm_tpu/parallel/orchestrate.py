@@ -151,22 +151,30 @@ def run_eval_scenes(scenes, scene_fn, output_dir: str,
 
     from ..eval.aggregate import aggregate_multi_scene_metrics, format_report
 
+    import time as _time
+
     pc = jax.process_count()
     mine = local_shard(scenes) if pc > 1 else list(scenes)
     local: Dict[str, Dict] = {}
     for s in mine:
         print(f"=== scene {s} (proc {jax.process_index()}) ===",
               file=sys.stderr)
+        t0 = _time.perf_counter()
         try:
             res = scene_fn(s)
         except Exception as e:  # noqa: BLE001 — per-scene isolation
             print(f"scene {s} failed: {e}", file=sys.stderr)
             res = {"status": "failed", "error": repr(e)}
-        print(_json.dumps({"scene": s, **res}))
+        dt = _time.perf_counter() - t0
+        print(_json.dumps({"scene": s, "wall_s": round(dt, 1), **res}))
         metrics = dict(res.get("pose_auc", {}) or {})
         metrics["registered_ratio"] = (
             res.get("n_registered", 0) / max(res.get("n_images", 1), 1)
         )
+        # Scene-level throughput (BASELINE.md north-star protocol needs
+        # scenes/hour; the first scene of a process carries the compile
+        # cost, later ones reflect the warm steady state).
+        metrics["wall_s"] = round(dt, 1)
         local[s] = metrics
     gathered = allgather_objects(local)
     per_scene: Dict[str, Dict] = {}

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--size", type=int, default=1600)
     ap.add_argument("--batches", default="1,2,4")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--fast-exp", action="store_true", dest="fast_exp",
+                    help="Schraudolph exp in the fused DSM lse pass")
     args = ap.parse_args()
 
     from detectorfreesfm_tpu.models.loftr import (
@@ -59,6 +61,7 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         max_matches=4096 if on_tpu else 128,
         fused_matching=True,
+        dsm_fast_exp=args.fast_exp,
     )
     model = DetectorFreeMatcher(cfg)
     dummy = jnp.zeros((1, size, size, 1), jnp.float32)
