@@ -118,3 +118,67 @@ def test_incremental_mapping_unknown_intrinsics():
     assert rec is not None
     assert len(rec.registered_images) >= n_cams - 1
     assert len(rec.points) > 100
+
+
+def test_global_ba_similarity_gauge_beats_full_freeze():
+    """Pipeline-level 7-DOF gauge regression (VERDICT r3 #9): after building
+    a real reconstruction through the mapper, perturb the SECOND anchor's
+    rotation (the typical grid-quantized init-pair error) and run
+    mapper.global_ba both ways. The similarity gauge must claw the rotation
+    back; the pre-round-3 full freeze locks it in and warps the map."""
+    import copy
+
+    from detectorfreesfm_tpu.core.geometry import (
+        np_quat_to_rotmat, rotmat_to_quat, so3_exp,
+    )
+
+    n_cams = 5
+    pts, K, poses, uvs, visible = _multi_view_scene(n_cams, seed=21)
+    keypoints, matches = _scene_to_matches(n_cams, uvs, visible)
+    sizes = {n: (640, 480) for n in keypoints}
+    intrin = {n: K for n in keypoints}
+    mapper = IncrementalMapper(MapperConfig(abs_pose_min_num_inliers=15))
+    rec = mapper.run(keypoints, matches, sizes, intrin)
+    assert rec is not None and len(rec.registered_images) == n_cams
+
+    anchors = sorted(rec.registered_images)[:2]
+    b = anchors[1]
+
+    def perturbed():
+        r2 = copy.deepcopy(rec)
+        Rb = np_quat_to_rotmat(np.asarray(r2.images[b].qvec)[None])[0]
+        dR = np.asarray(so3_exp(jnp.asarray([0.02, -0.02, 0.015])))  # ~2 deg
+        r2.set_pose(b, np.asarray(rotmat_to_quat(jnp.asarray(dR @ Rb))),
+                    r2.images[b].tvec)
+        return r2
+
+    def med_err(r2):
+        # pairwise relative rotations: gauge-invariant vs GT
+        reg = sorted(r2.registered_images)
+        Rs_est, Rs_gt = {}, {}
+        for i in reg:
+            idx = int(r2.images[i].name[2:4])
+            Rs_est[i] = np_quat_to_rotmat(
+                np.asarray(r2.images[i].qvec)[None])[0]
+            Rs_gt[i] = poses[idx][0]
+        errs = []
+        for ai in range(len(reg)):
+            for bi in range(ai + 1, len(reg)):
+                a_, b_ = reg[ai], reg[bi]
+                R_rel_e = Rs_est[b_] @ Rs_est[a_].T
+                R_rel_g = Rs_gt[b_] @ Rs_gt[a_].T
+                cosang = (np.trace(R_rel_e @ R_rel_g.T) - 1) / 2
+                errs.append(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+        return float(np.median(errs))
+
+    r_sim = perturbed()
+    mapper.global_ba(r_sim, fixed_ids=set(anchors), gauge="similarity")
+    r_full = perturbed()
+    mapper.global_ba(r_full, fixed_ids=set(anchors), gauge="full")
+
+    e_sim, e_full = med_err(r_sim), med_err(r_full)
+    # full freeze locks the ~1.6-deg perturbation in (map warps around it);
+    # the similarity gauge must recover well below it
+    assert e_full > 0.5, e_full
+    assert e_sim < 0.3, (e_sim, e_full)
+    assert e_sim < e_full / 2, (e_sim, e_full)
