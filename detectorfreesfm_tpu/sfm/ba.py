@@ -550,71 +550,85 @@ def bundle_adjust(
             [track_mask, np.zeros((p_rows - P, T), bool)]
         )
     dt = np.float32
-    prob = BAProblem(
-        cam_R=jnp.asarray(R_all, dt),
-        cam_t=jnp.asarray(t_n, dt),
-        intr=jnp.asarray(intr, dt),
-        points=jnp.asarray(pts_n, dt),
-        obs_uv=jnp.asarray(pad(obs_uv.astype(dt), 0.0)),
-        obs_cam=jnp.asarray(pad(obs_cam.astype(np.int32), 0)),
-        obs_pt=jnp.asarray(pad(obs_pt.astype(np.int32), 0)),
-        obs_mask=jnp.asarray(
-            pad(np.ones(O, bool), False)
-        ),
-        track_obs=jnp.asarray(track_obs),
-        track_mask=jnp.asarray(track_mask),
-        fixed_cams=jnp.asarray(fixed),
-        pose_free=jnp.asarray(pose_free_np),
-        refine_focal=jnp.asarray(refine_focal),
-        refine_dist=jnp.asarray(refine_dist),
+    # Placement: mesh path keeps its explicit TPU shardings (flag below
+    # stops the geometry decorator's CPU hop); single-device path creates
+    # the problem directly on the geometry device (host CPU on TPU
+    # processes — see core/precision.py) so the LM state never bounces
+    # over the tunnel between iterations.
+    from ..core.precision import (
+        _geometry_device_ctx, keep_geometry_on_default_device,
     )
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+    _place = (keep_geometry_on_default_device() if mesh is not None
+              else _geometry_device_ctx())
+    with _place:
+        prob = BAProblem(
+            cam_R=jnp.asarray(R_all, dt),
+            cam_t=jnp.asarray(t_n, dt),
+            intr=jnp.asarray(intr, dt),
+            points=jnp.asarray(pts_n, dt),
+            obs_uv=jnp.asarray(pad(obs_uv.astype(dt), 0.0)),
+            obs_cam=jnp.asarray(pad(obs_cam.astype(np.int32), 0)),
+            obs_pt=jnp.asarray(pad(obs_pt.astype(np.int32), 0)),
+            obs_mask=jnp.asarray(
+                pad(np.ones(O, bool), False)
+            ),
+            track_obs=jnp.asarray(track_obs),
+            track_mask=jnp.asarray(track_mask),
+            fixed_cams=jnp.asarray(fixed),
+            pose_free=jnp.asarray(pose_free_np),
+            refine_focal=jnp.asarray(refine_focal),
+            refine_dist=jnp.asarray(refine_dist),
+        )
 
-        data_sh = NamedSharding(mesh, PartitionSpec("data"))
-        repl = NamedSharding(mesh, PartitionSpec())
-        prob = BAProblem(*[
-            jax.device_put(
-                v,
-                data_sh if name in (
-                    "obs_uv", "obs_cam", "obs_pt", "obs_mask",
-                    "track_obs", "track_mask",
-                ) else repl,
-            )
-            for name, v in zip(BAProblem._fields, prob)
-        ])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-    lam = 1e-3
-    cost = float(ba_cost(prob, huber_delta))
-    for it in range(max_iters):
-        cg_used = 0
-        if use_pcg:
-            cam_R, cam_t, new_intr, new_pts, cg_used = lm_step_pcg(
-                prob, jnp.asarray(lam, dt), huber_delta, cg_iters, cg_rtol
-            )
-            cg_used = int(cg_used)
-        else:
-            cam_R, cam_t, new_intr, new_pts = lm_step(
-                prob, jnp.asarray(lam, dt), huber_delta
-            )
-        cand = prob._replace(cam_R=cam_R, cam_t=cam_t, intr=new_intr, points=new_pts)
-        new_cost = float(ba_cost(cand, huber_delta))
-        if verbose:
-            extra = f" cg {cg_used}" if use_pcg else ""
-            print(f"  LM it {it}: cost {cost:.4f} -> {new_cost:.4f} "
-                  f"lam {lam:.2e}{extra}")
-        if np.isfinite(new_cost) and new_cost < cost:
-            rel = (cost - new_cost) / max(cost, 1e-12)
-            prob = cand
-            cost = new_cost
-            lam = max(lam / 3.0, 1e-8)
-            if rel < 1e-6:
-                break
-        else:
-            lam = min(lam * 5.0, 1e6)
-            if lam >= 1e6:
-                break
+            data_sh = NamedSharding(mesh, PartitionSpec("data"))
+            repl = NamedSharding(mesh, PartitionSpec())
+            prob = BAProblem(*[
+                jax.device_put(
+                    v,
+                    data_sh if name in (
+                        "obs_uv", "obs_cam", "obs_pt", "obs_mask",
+                        "track_obs", "track_mask",
+                    ) else repl,
+                )
+                for name, v in zip(BAProblem._fields, prob)
+            ])
+
+        lam = 1e-3
+        cost = float(ba_cost(prob, huber_delta))
+        for it in range(max_iters):
+            cg_used = 0
+            if use_pcg:
+                cam_R, cam_t, new_intr, new_pts, cg_used = lm_step_pcg(
+                    prob, jnp.asarray(lam, dt), huber_delta, cg_iters,
+                    cg_rtol
+                )
+                cg_used = int(cg_used)
+            else:
+                cam_R, cam_t, new_intr, new_pts = lm_step(
+                    prob, jnp.asarray(lam, dt), huber_delta
+                )
+            cand = prob._replace(
+                cam_R=cam_R, cam_t=cam_t, intr=new_intr, points=new_pts)
+            new_cost = float(ba_cost(cand, huber_delta))
+            if verbose:
+                extra = f" cg {cg_used}" if use_pcg else ""
+                print(f"  LM it {it}: cost {cost:.4f} -> {new_cost:.4f} "
+                      f"lam {lam:.2e}{extra}")
+            if np.isfinite(new_cost) and new_cost < cost:
+                rel = (cost - new_cost) / max(cost, 1e-12)
+                prob = cand
+                cost = new_cost
+                lam = max(lam / 3.0, 1e-8)
+                if rel < 1e-6:
+                    break
+            else:
+                lam = min(lam * 5.0, 1e6)
+                if lam >= 1e6:
+                    break
 
     # Denormalize
     q_out = np_rotmat_to_quat(np.asarray(prob.cam_R, np.float64))

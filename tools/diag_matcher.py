@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--matcher", default="loftr",
                     help="loftr | aspan | matchformer — which architecture "
                          "the checkpoint belongs to")
+    ap.add_argument("--fine", action="store_true",
+                    help="run the coarse_fine match type (sub-pixel fine "
+                         "head, no grid rounding) — measures the fine "
+                         "stage's epipolar error directly")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +49,8 @@ def main():
     dtype = "bfloat16" if on_tpu else "float32"
     if args.matcher in ("loftr", "loftr_official", "detectorfree"):
         params = load_matcher_params(
-            args.ckpt, cfg=MatcherConfig(compute_dtype=dtype))
+            args.ckpt, cfg=MatcherConfig(compute_dtype=dtype,
+                                         fine_enabled=args.fine))
     else:
         # Alt architectures: init a template at the eval size, restore the
         # trainer checkpoint into it (structure-tolerant).
@@ -64,7 +69,9 @@ def main():
     engine = PairMatchingEngine(EngineConfig(
         img_resize=args.img_resize, match_threshold=args.threshold,
         matcher=args.matcher, compute_dtype=dtype,
-        fused_matching=on_tpu and args.matcher == "loftr",
+        fine_enabled=args.fine,
+        # fused path skips the dense conf the fine stage needs
+        fused_matching=on_tpu and args.matcher == "loftr" and not args.fine,
         batch_size=4 if on_tpu else 1,
     ), params=params)
 
