@@ -56,14 +56,55 @@ def _geometry_device_ctx():
         return contextlib.nullcontext()
 
 
+def _to_host(x):
+    """Move an accelerator-resident array to the CPU backend. Computation
+    follows device-resident inputs regardless of default_device, so the
+    CPU hop must relocate them explicitly (call sites often jnp.asarray
+    their numpy before the call, which lands on the accelerator)."""
+    if isinstance(x, jax.Array):
+        try:
+            if all(d.platform == "cpu" for d in x.devices()):
+                return x
+            return jax.device_put(x, jax.local_devices(backend="cpu")[0])
+        except Exception:  # noqa: BLE001 — placement is an optimization
+            return x
+    return x
+
+
 def with_highest_matmul_precision(fn):
-    """Apply between @jax.jit and the def: trace under HIGHEST precision
-    (and, on accelerator-default processes, run on the host CPU backend)."""
+    """Apply between @jax.jit and the def: trace under HIGHEST precision.
+
+    NOTE: this runs INSIDE the jit trace, so it can only annotate dot
+    precision — it cannot change placement (the outer jit has already
+    picked a device before tracing). Use geometry_jit for full
+    precision + CPU-placement treatment."""
 
     @functools.wraps(fn)
     def wrapped(*a, **k):
-        with _geometry_device_ctx(), \
-                jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision("highest"):
             return fn(*a, **k)
 
     return wrapped
+
+
+def geometry_jit(**jit_kwargs):
+    """jax.jit for geometry kernels: traces under HIGHEST matmul precision
+    AND (on accelerator-default processes) moves inputs to the host CPU
+    backend and runs there — placement must be decided OUTSIDE the jit,
+    and device-resident inputs must be relocated explicitly because
+    computation follows data regardless of default_device."""
+
+    def deco(fn):
+        jfn = jax.jit(with_highest_matmul_precision(fn), **jit_kwargs)
+
+        @functools.wraps(fn)
+        def outer(*a, **k):
+            ctx = _geometry_device_ctx()
+            if not isinstance(ctx, contextlib.nullcontext):
+                a, k = jax.tree_util.tree_map(_to_host, (a, k))
+            with ctx:
+                return jfn(*a, **k)
+
+        return outer
+
+    return deco

@@ -24,13 +24,12 @@ def projection_matrices(qvec: jax.Array, tvec: jax.Array, K: jax.Array) -> jax.A
     return K @ Rt
 
 
-from .precision import with_highest_matmul_precision
+from .precision import geometry_jit
 
 
 # jit is load-bearing: mapper host code calls this dozens of times per scene;
 # unjitted it dispatches each op eagerly (one XLA mini-compile per op/shape).
-@functools.partial(jax.jit, static_argnames=("eps",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("eps",))
 def triangulate_dlt(
     P: jax.Array, uv: jax.Array, mask: jax.Array | None = None, eps: float = 1e-12
 ):

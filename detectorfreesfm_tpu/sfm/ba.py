@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import np_quat_to_rotmat, np_rotmat_to_quat, so3_exp
-from ..core.precision import with_highest_matmul_precision
+from ..core.precision import geometry_jit
 
 CAM_DOF = 8  # 3 rot + 3 trans + 1 log-focal + 1 radial k1
 
@@ -170,8 +170,7 @@ def _weighted_system(prob: BAProblem, huber_delta: float):
 
 
 
-@functools.partial(jax.jit, static_argnames=("huber_delta",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("huber_delta",))
 def ba_cost(prob: BAProblem, huber_delta: float = 2.0) -> jax.Array:
     """Total robust cost (Huber rho of pixel residuals) over live obs."""
     R0 = prob.cam_R[prob.obs_cam]
@@ -185,8 +184,7 @@ def ba_cost(prob: BAProblem, huber_delta: float = 2.0) -> jax.Array:
     return jnp.sum(rho * prob.obs_mask.astype(rho.dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("huber_delta",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("huber_delta",))
 def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     """One damped Schur LM solve. Returns proposed (cam_R, cam_t, intr,
     points) — acceptance is decided by the host loop via ba_cost."""
@@ -280,10 +278,7 @@ def lm_step(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0):
     return cam_R, cam_t, intr, points
 
 
-@functools.partial(
-    jax.jit, static_argnames=("huber_delta", "cg_iters", "cg_rtol")
-)
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("huber_delta", "cg_iters", "cg_rtol"))
 def lm_step_pcg(prob: BAProblem, lam: jax.Array, huber_delta: float = 2.0,
                 cg_iters: int = 100, cg_rtol: float = 1e-2):
     """One damped LM step solving the camera Schur system with MATRIX-FREE

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import quat_to_rotmat, rotmat_to_quat, so3_exp
-from ..core.precision import with_highest_matmul_precision
+from ..core.precision import geometry_jit
 
 
 class PnPResult(NamedTuple):
@@ -276,8 +276,7 @@ def _gauss_newton_pose(R, t, X, x, w, iters: int = 10):
 
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_absolute_pose(
     X: jax.Array,       # (N, 3) world points (padded)
     x: jax.Array,       # (N, 2) normalized image coords
@@ -347,8 +346,7 @@ def estimate_absolute_pose(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_absolute_pose_batch(
     X: jax.Array,           # (B, N, 3)
     x: jax.Array,           # (B, N, 2)

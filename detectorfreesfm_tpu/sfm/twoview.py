@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import rotmat_to_quat
-from ..core.precision import with_highest_matmul_precision
+from ..core.precision import geometry_jit
 
 
 class TwoViewResult(NamedTuple):
@@ -160,8 +160,7 @@ def homography_error(H: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
 
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_homography(
     x0: jax.Array,      # (N, 2) normalized coords
     x1: jax.Array,
@@ -199,8 +198,7 @@ def estimate_homography(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_homography_batch(
     x0: jax.Array, x1: jax.Array, mask: jax.Array, rngs: jax.Array,
     thresholds: jax.Array, n_hypotheses: int = 256,
@@ -271,8 +269,7 @@ def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
     return Rs[k], t / jnp.maximum(jnp.linalg.norm(t), 1e-12), ns[k]
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_relative_pose_batch(
     x0: jax.Array,          # (B, N, 2)
     x1: jax.Array,          # (B, N, 2)
@@ -292,8 +289,7 @@ def estimate_relative_pose_batch(
     )(x0, x1, mask, rngs, thresholds)
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
-@with_highest_matmul_precision
+@geometry_jit(static_argnames=("n_hypotheses",))
 def estimate_relative_pose(
     x0: jax.Array,      # (N, 2) normalized coords in view0 (padded)
     x1: jax.Array,      # (N, 2) normalized coords in view1
