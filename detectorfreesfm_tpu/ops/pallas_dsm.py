@@ -62,9 +62,19 @@ def _exp_fn(fast: bool):
 
 
 def _sim_tile(f0, f1, m0, m1):
-    """(TL, C) x (TS, C) -> masked (TL, TS) f32 logits on the MXU."""
+    """(TL, C) x (TS, C) -> masked (TL, TS) f32 logits on the MXU.
+
+    precision=HIGHEST is load-bearing: Mosaic's default truncates f32
+    operands to ONE bf16 pass on the MXU, and the 1/temperature=10 logit
+    scale turns that ~0.4% feature quantization into O(0.7) logit error —
+    measured on real features: 49% row-argmax agreement with the dense
+    path, 45% fewer extracted matches, 2x the epipolar error (round 4,
+    scene_1001). HIGHEST (bf16x6 passes) restores f32-equivalent logits
+    for ~us-level extra MXU time per tile (the kernel is exp-bound)."""
     z = jax.lax.dot_general(
-        f0, f1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        f0, f1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     z = z + (m0[0, :][:, None] - 1.0) * -NEG
     z = z + (m1[0, :][None, :] - 1.0) * -NEG
@@ -221,16 +231,33 @@ def dual_softmax_stats(
     # 1024x2048 tiles, 1600 px); Mosaic's native exp is already optimal.
     # Natural exp stays.)
     scale = 1.0 / (c * temperature)
-    f0 = _pad_to((feat0.astype(jnp.float32) * scale).astype(jnp.bfloat16),
-                 lp, 0, 0)
-    f1 = _pad_to(feat1.astype(jnp.bfloat16), sp, 0, 0)
+    # f32 feature tiles. bf16 inputs were measured catastrophic on REAL
+    # features (round 4, scene_1001 at 512 px: 10.1k matches / 17.5 px
+    # median epipolar error vs 18.4k / 8.2 px for the dense f32 path —
+    # the 1/temperature=10 logit scale amplifies bf16's ~0.4% feature
+    # quantization into O(1) logit error, which both flips argmax ranks
+    # and drops borderline confidences below threshold). The MXU matmul
+    # is ~3 us vs ~30 us of exp per (512, 2048) tile, so f32 passes cost
+    # little; VMEM grows by one bf16 copy of the feature tiles.
+    f0 = _pad_to(feat0.astype(jnp.float32) * scale, lp, 0, 0)
+    f1 = _pad_to(feat1.astype(jnp.float32), sp, 0, 0)
     m0 = _pad_to(mask0.astype(jnp.float32)[None, :], lp, 1, 0.0)
     m1 = _pad_to(mask1.astype(jnp.float32)[None, :], sp, 1, 0.0)
     n_i, n_j = lp // tile_l, sp // tile_s
 
     spec_f0 = pl.BlockSpec((tile_l, c), lambda i, j: (i, 0),
                            memory_space=pltpu.VMEM)
-    spec_f1 = pl.BlockSpec((tile_s, c), lambda i, j: (0, j),
+    # Block index (j, 0): row-block j of the (sp, c) feature array. The
+    # round-4 bug here — (0, j) — offset the CHANNEL axis by j*c instead,
+    # which is out of range for j >= 1 and clamps back to block 0: every
+    # S-tile after the first silently re-read f1's first tile. Row lse
+    # double-counted tile-0 mass (error exactly log 2 with n_j = 2 on
+    # match-dominated rows) and all column stats for j >= 1 were computed
+    # from the wrong features — 45% of matches lost at 512 px, worse at
+    # 832+. The interpret-mode parity test used 300x200 features (a single
+    # tile), so it never exercised n_j > 1; test_pallas_dsm.py now sweeps
+    # multi-tile shapes.
+    spec_f1 = pl.BlockSpec((tile_s, c), lambda i, j: (j, 0),
                            memory_space=pltpu.VMEM)
     spec_m0 = pl.BlockSpec((1, tile_l), lambda i, j: (0, i),
                            memory_space=pltpu.VMEM)

@@ -118,3 +118,48 @@ def test_fused_handles_nondivisible_sizes():
     assert v.sum() > 5
     assert (np.asarray(out.idx0[0])[v] < 130).all()
     assert (np.asarray(out.idx1[0])[v] < 77).all()
+
+
+def test_stats_multi_tile_grid_exact():
+    """Multi-tile grids (n_i > 1 AND n_j > 1) against numpy logsumexp.
+
+    Regression for the round-4 S-tile indexing bug: spec_f1's block index
+    was (0, j) — offsetting the CHANNEL axis, which is out of range for
+    j >= 1 and clamps back to tile 0 — so every S-tile after the first
+    re-read f1's first tile. Row lse then double-counted tile-0 mass
+    (error exactly log 2 with n_j = 2 on match-dominated rows) and column
+    stats for j >= 1 came from the wrong features. The original parity
+    test used 300x200 features = a single tile and could not catch it.
+    """
+    rng = np.random.default_rng(11)
+    l, s, c = 300, 260, 32
+    f0 = rng.normal(0, 1, (l, c)).astype(np.float32)
+    f1 = rng.normal(0, 1, (s, c)).astype(np.float32)
+    for m in range(40):
+        f1[m] = f0[m] + rng.normal(0, 0.05, c)
+    m0 = np.ones(l, bool)
+    m1 = np.ones(s, bool)
+    m0[-7:] = False
+    m1[-5:] = False
+
+    temperature = 0.1
+    z = (f0 @ f1.T) / (c * temperature)
+    z[~m0] = -1e9
+    z[:, ~m1] = -1e9
+    zmax_r = z.max(1)
+    lse_r_np = np.log(np.exp(z - zmax_r[:, None]).sum(1)) + zmax_r
+    zmax_c = z.max(0)
+    lse_c_np = np.log(np.exp(z - zmax_c[None, :]).sum(0)) + zmax_c
+    adj_r = 2 * z - lse_c_np[None, :]
+
+    for tile_l, tile_s in [(128, 64), (64, 128), (128, 128)]:
+        out = dual_softmax_stats(
+            jnp.asarray(f0), jnp.asarray(f1),
+            jnp.asarray(m0), jnp.asarray(m1),
+            tile_l=tile_l, tile_s=tile_s, interpret=True,
+        )
+        lse_r, lse_c, _rmax, rarg = (np.asarray(x) for x in out[:4])
+        np.testing.assert_allclose(lse_r[m0], lse_r_np[m0], rtol=0, atol=2e-3)
+        np.testing.assert_allclose(lse_c[m1], lse_c_np[m1], rtol=0, atol=2e-3)
+        agree = (rarg[m0] == adj_r.argmax(1)[m0]).mean()
+        assert agree > 0.995, (tile_l, tile_s, agree)
