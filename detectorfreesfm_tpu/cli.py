@@ -171,7 +171,7 @@ def _run_scene(args) -> dict:
     if refiner_ckpt is None and args.refine_iters > 0:
         # Refinement with random weights only perturbs keypoints — refuse
         # unless the bundled default checkpoint exists (VERDICT r2 #10).
-        refiner_ckpt = _bundled_weight("demo_refiner_r2_bf16.msgpack")
+        refiner_ckpt = _bundled_weight("demo_refiner_r4_bf16.msgpack")
         if refiner_ckpt is None:
             raise SystemExit(
                 "--refine-iters > 0 needs trained refiner weights: pass "

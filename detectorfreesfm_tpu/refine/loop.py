@@ -118,7 +118,7 @@ def refine_reconstruction(
         raise ValueError(
             "refine_reconstruction called without refiner weights: pass "
             "params=<trained MultiviewRefiner params> (e.g. "
-            "weights/demo_refiner_r2_bf16.msgpack via --refiner-ckpt), or "
+            "weights/demo_refiner_r4_bf16.msgpack via --refiner-ckpt), or "
             "opt in to random weights with "
             "RefineConfig(allow_random_weights=True)."
         )

@@ -13,7 +13,7 @@ python -m detectorfreesfm_tpu.cli eval-dataset \
   --dataset .data/synth5/eval --output "$OUT" \
   --img-resize 832 --refine-iters 2 --known-intrinsics \
   --matcher-ckpt "$CKPT" \
-  --refiner-ckpt weights/demo_refiner_r2_bf16.msgpack \
+  --refiner-ckpt weights/demo_refiner_r4_bf16.msgpack \
   "$@"
 echo "=== epipolar diagnostic ==="
 python tools/diag_epipolar.py --out "$OUT" --dataset .data/synth5/eval
@@ -25,4 +25,4 @@ python -m detectorfreesfm_tpu.cli reconstruct \
   --refine-iters 4 --refine-windows 15,11,7,7 \
   --refine-thresholds 6,4,3,2.5 --reregister-every 1 \
   --matcher-ckpt "$CKPT" \
-  --refiner-ckpt weights/demo_refiner_r2_bf16.msgpack
+  --refiner-ckpt weights/demo_refiner_r4_bf16.msgpack
