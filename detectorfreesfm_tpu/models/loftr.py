@@ -54,8 +54,13 @@ class MatcherConfig:
     fused_matching: bool = False
     # Pallas kernel tiles (VMEM budget knobs — defaults tuned on v5e via
     # tools/sweep_dsm_tiles.py; override for chips with less VMEM.
-    # ADVICE r2 #2.)
-    dsm_tile_l: int = 1024
+    # ADVICE r2 #2.) 512-row L tiles: the round-4 correctness fix switched
+    # the kernel to f32 feature tiles + HIGHEST-precision matmuls, and
+    # 1024-row tiles now exceed the 16 MB scoped-VMEM budget at 1600 px
+    # (19.5 MB on-stack for the pass-2 z2 tile) — the old 1024 default's
+    # ~8% win was measured on the cheaper (and WRONG, see ba11e2a) bf16
+    # kernel.
+    dsm_tile_l: int = 512
     dsm_tile_s: int = 2048
     # Schraudolph bit-trick exp in the fused DSM lse pass (~3 VPU ops vs
     # ~20): the kernel is exp-bound at 1600 px (PERFORMANCE.md). ±3% on the

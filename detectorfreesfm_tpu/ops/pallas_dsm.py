@@ -61,28 +61,36 @@ def _exp_fn(fast: bool):
     return _fast_exp if fast else jnp.exp
 
 
-def _sim_tile(f0, f1, m0, m1):
-    """(TL, C) x (TS, C) -> masked (TL, TS) f32 logits on the MXU.
+def _sim_tile(f0h, f0l, f1h, f1l, m0, m1):
+    """hi/lo bf16 tiles -> masked (TL, TS) f32 logits on the MXU.
 
-    precision=HIGHEST is load-bearing: Mosaic's default truncates f32
+    Accurate logits are load-bearing: Mosaic's default truncates f32
     operands to ONE bf16 pass on the MXU, and the 1/temperature=10 logit
     scale turns that ~0.4% feature quantization into O(0.7) logit error —
     measured on real features: 49% row-argmax agreement with the dense
     path, 45% fewer extracted matches, 2x the epipolar error (round 4,
-    scene_1001). HIGHEST (bf16x6 passes) restores f32-equivalent logits
-    for ~us-level extra MXU time per tile (the kernel is exp-bound)."""
-    z = jax.lax.dot_general(
-        f0, f1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    scene_1001). The fix is a 3-pass bf16 compensated product on
+    PRE-decomposed hi/lo tiles (f = hi + lo, both bf16, split once in XLA
+    outside the kernel): z = hi@hi + hi@lo + lo@hi, max logit error
+    ~2e-5 (vs 5e-7 for precision=HIGHEST and 7e-3 for one pass at unit
+    scale). Same bytes in VMEM as one f32 copy, half the MXU passes of
+    HIGHEST, and no per-tile VPU decomposition (a HIGHEST variant
+    measured 638 us/tile standalone; in-kernel decomposition 739 us)."""
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    z = dot(f0h, f1h) + dot(f0h, f1l) + dot(f0l, f1h)
     z = z + (m0[0, :][:, None] - 1.0) * -NEG
     z = z + (m1[0, :][None, :] - 1.0) * -NEG
     return z
 
 
 def _pass1_kernel(
-    f0_ref, f1_ref, m0_ref, m1_ref,
+    f0h_ref, f0l_ref, f1h_ref, f1l_ref, m0_ref, m1_ref,
     lse_r_ref, lse_c_ref,
     row_m_ref, row_s_ref, col_m_ref, col_s_ref,
     *, fast_exp=False,
@@ -92,7 +100,7 @@ def _pass1_kernel(
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
     n_j = pl.num_programs(1)
-    ts = f1_ref.shape[0]
+    ts = f1h_ref.shape[0]
 
     @pl.when((i == 0) & (j == 0))
     def _init_cols():
@@ -104,7 +112,8 @@ def _pass1_kernel(
         row_m_ref[:] = jnp.full_like(row_m_ref, NEG)
         row_s_ref[:] = jnp.zeros_like(row_s_ref)
 
-    z = _sim_tile(f0_ref[:], f1_ref[:], m0_ref, m1_ref)
+    z = _sim_tile(f0h_ref[:], f0l_ref[:], f1h_ref[:], f1l_ref[:],
+                  m0_ref, m1_ref)
 
     # Two (TL, TS) exps per tile, one per softmax direction, each shifted by
     # its own running max. The shifts CANNOT be shared: post-transformer
@@ -143,7 +152,8 @@ def _pass1_kernel(
 
 
 def _pass2_kernel(
-    f0_ref, f1_ref, m0_ref, m1_ref, lse_r_ref, lse_c_ref,
+    f0h_ref, f0l_ref, f1h_ref, f1l_ref, m0_ref, m1_ref,
+    lse_r_ref, lse_c_ref,
     row_max_ref, row_arg_ref, col_max_out_ref, col_arg_out_ref,
     rm_ref, ra_ref, cm_ref, ca_ref,
 ):
@@ -152,8 +162,8 @@ def _pass2_kernel(
     j = pl.program_id(1)
     n_i = pl.num_programs(0)
     n_j = pl.num_programs(1)
-    tl = f0_ref.shape[0]
-    ts = f1_ref.shape[0]
+    tl = f0h_ref.shape[0]
+    ts = f1h_ref.shape[0]
 
     @pl.when((i == 0) & (j == 0))
     def _init_cols():
@@ -165,7 +175,8 @@ def _pass2_kernel(
         rm_ref[:] = jnp.full_like(rm_ref, NEG)
         ra_ref[:] = jnp.zeros_like(ra_ref)
 
-    z2 = 2.0 * _sim_tile(f0_ref[:], f1_ref[:], m0_ref, m1_ref)
+    z2 = 2.0 * _sim_tile(f0h_ref[:], f0l_ref[:], f1h_ref[:], f1l_ref[:],
+                         m0_ref, m1_ref)
 
     a_row = z2 - lse_c_ref[0, pl.ds(j * ts, ts)][None, :]  # (TL, TS)
     t_rmax = jnp.max(a_row, axis=1)
@@ -231,16 +242,18 @@ def dual_softmax_stats(
     # 1024x2048 tiles, 1600 px); Mosaic's native exp is already optimal.
     # Natural exp stays.)
     scale = 1.0 / (c * temperature)
-    # f32 feature tiles. bf16 inputs were measured catastrophic on REAL
-    # features (round 4, scene_1001 at 512 px: 10.1k matches / 17.5 px
-    # median epipolar error vs 18.4k / 8.2 px for the dense f32 path —
-    # the 1/temperature=10 logit scale amplifies bf16's ~0.4% feature
-    # quantization into O(1) logit error, which both flips argmax ranks
-    # and drops borderline confidences below threshold). The MXU matmul
-    # is ~3 us vs ~30 us of exp per (512, 2048) tile, so f32 passes cost
-    # little; VMEM grows by one bf16 copy of the feature tiles.
-    f0 = _pad_to(feat0.astype(jnp.float32) * scale, lp, 0, 0)
-    f1 = _pad_to(feat1.astype(jnp.float32), sp, 0, 0)
+    # Compensated hi/lo bf16 decomposition, done ONCE in XLA outside the
+    # kernels (see _sim_tile for the accuracy rationale — one bf16 pass
+    # was measured catastrophic on real features). hi+lo bf16 tiles cost
+    # the same VMEM bytes as one f32 copy and need no per-tile VPU work.
+    def _hi_lo(f, n, axis):
+        f = _pad_to(f, n, axis, 0)
+        hi = f.astype(jnp.bfloat16)
+        lo = (f - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    f0h, f0l = _hi_lo(feat0.astype(jnp.float32) * scale, lp, 0)
+    f1h, f1l = _hi_lo(feat1.astype(jnp.float32), sp, 0)
     m0 = _pad_to(mask0.astype(jnp.float32)[None, :], lp, 1, 0.0)
     m1 = _pad_to(mask1.astype(jnp.float32)[None, :], sp, 1, 0.0)
     n_i, n_j = lp // tile_l, sp // tile_s
@@ -271,7 +284,7 @@ def dual_softmax_stats(
     lse_r, lse_c = pl.pallas_call(
         functools.partial(_pass1_kernel, fast_exp=fast_exp),
         grid=(n_i, n_j),
-        in_specs=[spec_f0, spec_f1, spec_m0, spec_m1],
+        in_specs=[spec_f0, spec_f0, spec_f1, spec_f1, spec_m0, spec_m1],
         out_specs=[spec_vl, spec_vs_full],
         out_shape=[
             jax.ShapeDtypeStruct((1, lp), jnp.float32),
@@ -284,12 +297,13 @@ def dual_softmax_stats(
             pltpu.VMEM((1, sp), jnp.float32),
         ],
         interpret=interpret,
-    )(f0, f1, m0, m1)
+    )(f0h, f0l, f1h, f1l, m0, m1)
 
     row_max, row_arg, col_max, col_arg = pl.pallas_call(
         _pass2_kernel,
         grid=(n_i, n_j),
-        in_specs=[spec_f0, spec_f1, spec_m0, spec_m1, spec_vl, spec_vs_full],
+        in_specs=[spec_f0, spec_f0, spec_f1, spec_f1, spec_m0, spec_m1,
+                  spec_vl, spec_vs_full],
         out_specs=[spec_vl, spec_vl, spec_vs_full, spec_vs_full],
         out_shape=[
             jax.ShapeDtypeStruct((1, lp), jnp.float32),
@@ -304,7 +318,7 @@ def dual_softmax_stats(
             pltpu.VMEM((1, sp), jnp.int32),
         ],
         interpret=interpret,
-    )(f0, f1, m0, m1, lse_r, lse_c)
+    )(f0h, f0l, f1h, f1l, m0, m1, lse_r, lse_c)
     return (
         lse_r[0, :l], lse_c[0, :s], row_max[0, :l],
         row_arg[0, :l], col_max[0, :s], col_arg[0, :s],
