@@ -66,11 +66,38 @@ class SRAttention(nn.Module):
         q = dense(self.dim, "q")(x).reshape(b, n, hn, dim)
         k = dense(self.dim, "k")(kv).reshape(b, -1, hn, dim)
         v = dense(self.dim, "v")(kv).reshape(b, -1, hn, dim)
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(dim, jnp.float32))
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dim, jnp.float32))
+
+        def _attend(qc):
+            # (B, NC, HN, D) query chunk -> (B, NC, HN, D)
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", qc, k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+        # Chunk queries so the (B, HN, N, M) logits never materialize at
+        # stage-0 resolution: at 512 px the full tensor is 8x8x65536x1024
+        # f32 = 16 GB and OOMs HBM during training (measured round 4,
+        # train_alt_matchers matchformer). lax.map over static query
+        # chunks keeps memory at O(chunk x M) with identical math — the
+        # per-row softmax touches only its own row. jax.checkpoint makes
+        # the BACKWARD recompute each chunk's logits instead of saving
+        # them (without it autodiff stores every chunk's (B, HN, NC, M)
+        # residuals — the same 16 GB, just sliced).
+        _attend = jax.checkpoint(_attend)
+        chunk = 4096
+        if n > chunk:
+            n_pad = ((n + chunk - 1) // chunk) * chunk
+            qp = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+            qc = jnp.moveaxis(
+                qp.reshape(b, n_pad // chunk, chunk, hn, dim), 1, 0)
+            oc = jax.lax.map(_attend, qc)
+            out = jnp.moveaxis(oc, 0, 1).reshape(b, n_pad, hn, dim)[:, :n]
+        else:
+            out = _attend(q)
+        out = out.reshape(b, n, self.dim)
         out = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                        name="proj")(out)
         y = nn.LayerNorm(dtype=self.dtype, name="ln")(x + out)
