@@ -106,6 +106,7 @@ def _run_scene(args) -> dict:
 
         bs = 8 if jax.default_backend() == "tpu" else 1
     cfg = PipelineConfig(
+        matcher=getattr(args, "matcher_arch", "loftr"),
         img_resize=args.img_resize,
         match_threshold=args.match_threshold,
         match_type=getattr(args, "match_type", "coarse_only"),
@@ -140,6 +141,12 @@ def _run_scene(args) -> dict:
     )
     matcher_ckpt = getattr(args, "matcher_ckpt", None)
     if need_matching and matcher_ckpt is None:
+        if getattr(args, "matcher_arch", "loftr") not in (
+                "loftr", "loftr_official", "detectorfree"):
+            raise SystemExit(
+                "--matcher-arch %s needs an explicit --matcher-ckpt "
+                "(bundled defaults are LoFTR-family)."
+                % args.matcher_arch)
         # A bare `cli reconstruct` must never match with random weights
         # (VERDICT r3 #4) — resolve the bundled round-3 matcher or refuse.
         # Cached-match runs skip the load entirely.
@@ -151,7 +158,8 @@ def _run_scene(args) -> dict:
             )
         print(f"using bundled matcher weights: {matcher_ckpt}",
               file=sys.stderr)
-    if matcher_ckpt:
+    arch = getattr(args, "matcher_arch", "loftr")
+    if matcher_ckpt and arch in ("loftr", "loftr_official", "detectorfree"):
         from .models.loftr import MatcherConfig
         from .train.selfsup import load_matcher_params
 
@@ -166,6 +174,23 @@ def _run_scene(args) -> dict:
                     args, "match_type", "coarse_only") == "coarse_fine",
             ),
         )
+    elif matcher_ckpt:
+        # Alt architectures (aspan/matchformer): restore the trainer
+        # checkpoint into a template init of the matching model zoo entry.
+        import jax
+        import jax.numpy as jnp
+
+        from .models import build_matcher
+        from .train.selfsup import _from_bytes_any
+
+        model = build_matcher(arch, compute_dtype=args.dtype)
+        s = args.img_resize
+        dummy = jnp.zeros((1, s, s, 1), jnp.float32)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            template = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        with open(matcher_ckpt, "rb") as f:
+            blob = f.read()
+        matcher_params = _from_bytes_any(template, blob, matcher_ckpt)
     refiner_params = None
     refiner_ckpt = getattr(args, "refiner_ckpt", None)
     if refiner_ckpt is None and args.refine_iters > 0:
@@ -515,6 +540,11 @@ def main(argv=None) -> int:
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--matcher-ckpt", default=None, dest="matcher_ckpt",
                         help="trained matcher checkpoint (.msgpack)")
+        sp.add_argument("--matcher-arch", default="loftr",
+                        dest="matcher_arch",
+                        choices=["loftr", "aspan", "matchformer"],
+                        help="matcher architecture family (alt archs need "
+                             "an explicit --matcher-ckpt)")
         sp.add_argument("--refiner-ckpt", default=None, dest="refiner_ckpt",
                         help="trained refiner checkpoint (.msgpack)")
         sp.add_argument("--min-inliers", type=int, default=30,

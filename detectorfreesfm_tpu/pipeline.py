@@ -40,6 +40,7 @@ IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
 @dataclasses.dataclass
 class PipelineConfig:
     # matching
+    matcher: str = "loftr"  # loftr | aspan | matchformer (engine model zoo)
     img_resize: int = 832
     match_threshold: float = 0.2
     max_matches: int = 2048
@@ -73,11 +74,16 @@ class PipelineConfig:
             # (texturepoor_sfm/dfsfm.yaml round_matches_ratio: 4).
             round_ratio = 4
         return EngineConfig(
+            matcher=self.matcher,
             img_resize=self.img_resize, match_threshold=self.match_threshold,
             max_matches=self.max_matches, batch_size=self.batch_size,
             round_matches_ratio=round_ratio,
             compute_dtype=self.compute_dtype,
-            fused_matching=self.fused_matching,
+            # The fused Pallas extraction consumes LoFTR-family coarse
+            # features; alt architectures (aspan/matchformer) return their
+            # own dense conf and always take the dense path.
+            fused_matching=self.fused_matching and self.matcher in (
+                "loftr", "loftr_official", "detectorfree"),
             fine_enabled=fine,
         )
 
