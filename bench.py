@@ -40,7 +40,11 @@ def _measure_bucket(size: int, batch: int, iters: int) -> float:
     cfg = MatcherConfig(
         compute_dtype="bfloat16",
         max_matches=2048,
-        fused_matching=True,  # Pallas fused dual-softmax on real hardware
+        # Mirror the production auto-select (cli.py): dense conf + XLA
+        # softmax up to ~12k coarse tokens (faster at 832 px, measured
+        # 74.4 vs 67.2 pairs/s round 4), fused Pallas streaming above
+        # (the only path that can allocate at 1600 px).
+        fused_matching=(size // 8) ** 2 > 12000,
     )
     model = DetectorFreeMatcher(cfg)
     rng = jax.random.PRNGKey(0)

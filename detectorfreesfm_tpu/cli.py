@@ -93,11 +93,18 @@ def _run_scene(args) -> dict:
     fused = getattr(args, "fused", "auto")
     if fused == "auto":
         # The fused Pallas dual-softmax never materializes the (L, S) conf
-        # matrix — the only viable path at 1600 px and faster at 832 px.
-        # Dense stays the default off-TPU (Pallas interpret would crawl).
+        # matrix — the ONLY viable path at 1600 px (the dense matrix is
+        # 6.4 GB/pair there). But at <= 832 px the dense matrix fits
+        # comfortably and XLA's fused softmax over it beats the two-pass
+        # kernel (measured round 4, batch 16 on v5e: 74.4 dense vs 67.2
+        # fused pairs/s — the compensated-matmul kernel reads features
+        # twice). Auto picks dense up to 12k coarse tokens (~880 px) and
+        # the Pallas kernel above. Dense stays the default off-TPU
+        # (Pallas interpret would crawl).
         import jax
 
-        fused = jax.default_backend() == "tpu"
+        n_tokens = (args.img_resize // 8) ** 2
+        fused = jax.default_backend() == "tpu" and n_tokens > 12000
     else:
         fused = fused == "on"
     bs = getattr(args, "match_batch_size", None)
