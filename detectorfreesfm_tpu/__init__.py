@@ -46,6 +46,12 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
+        # Entry points that select CPU via jax.config.update("jax_platforms",
+        # "cpu") (bench smoke, diag tools, conftest) must skip the cache too
+        # — the env-var check alone misses them (ADVICE r4).
+        if "cpu" in str(getattr(jax.config, "jax_platforms", "") or "").lower():
+            return
+
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "dfsfm_xla"),

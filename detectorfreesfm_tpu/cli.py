@@ -281,11 +281,20 @@ def cmd_eval_dataset(args) -> int:
             # the rest to defaults (VERDICT r3 weak #3).
             import subprocess
 
-            payload = {
-                k: v for k, v in vars(ns).items()
-                if k not in ("fn", "isolate_scenes", "args_json")
-                and isinstance(v, (str, int, float, bool, type(None)))
-            }
+            payload = {}
+            for k, v in vars(ns).items():
+                if k in ("fn", "isolate_scenes", "args_json"):
+                    continue
+                try:
+                    json.dumps(v)
+                except TypeError:
+                    # Fail loudly: a silently-dropped option is exactly the
+                    # config-divergence bug class --args-json exists to
+                    # eliminate (ADVICE r4).
+                    raise SystemExit(
+                        f"--isolate-scenes cannot serialize option "
+                        f"{k}={v!r} for the child process")
+                payload[k] = v
             os.makedirs(ns.output, exist_ok=True)
             args_path = os.path.join(ns.output, "_scene_args.json")
             with open(args_path, "w") as f:
@@ -534,7 +543,7 @@ def main(argv=None) -> int:
         sp.add_argument("--min-model-size", type=int, default=3,
                         dest="min_model_size")
         sp.add_argument("--camera-model", default="pinhole",
-                        choices=("pinhole", "simple_radial"),
+                        choices=("pinhole", "simple_pinhole", "simple_radial"),
                         dest="camera_model",
                         help="camera model for reconstruction; simple_radial"
                              " estimates a k1 radial coefficient in BA (the"

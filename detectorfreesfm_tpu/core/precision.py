@@ -43,8 +43,16 @@ def keep_geometry_on_default_device():
         _tls.no_cpu_hop = prev
 
 
-def _geometry_device_ctx():
+def _geometry_device_ctx(name: str | None = None):
     if os.environ.get("DFSFM_GEOMETRY_DEVICE", "cpu") != "cpu":
+        return contextlib.nullcontext()
+    # Per-kernel bisection/override: comma-separated kernel names that stay
+    # on the accelerator while everything else hops (diagnostic tool for
+    # tracking down device-accuracy divergences kernel by kernel).
+    accel_only = os.environ.get("DFSFM_GEOMETRY_ACCEL_ONLY", "")
+    if accel_only and name is not None and name in {
+        s.strip() for s in accel_only.split(",")
+    }:
         return contextlib.nullcontext()
     if getattr(_tls, "no_cpu_hop", False):
         return contextlib.nullcontext()
@@ -96,10 +104,11 @@ def geometry_jit(**jit_kwargs):
 
     def deco(fn):
         jfn = jax.jit(with_highest_matmul_precision(fn), **jit_kwargs)
+        kernel_name = fn.__name__
 
         @functools.wraps(fn)
         def outer(*a, **k):
-            ctx = _geometry_device_ctx()
+            ctx = _geometry_device_ctx(kernel_name)
             if not isinstance(ctx, contextlib.nullcontext):
                 a, k = jax.tree_util.tree_map(_to_host, (a, k))
             with ctx:

@@ -53,7 +53,9 @@ def _fast_exp(x):
     instead of wrapping the int32 bias arithmetic.
     """
     x = jnp.clip(x, -87.0, 87.0)
-    i = (x * 12102203.0 + 1064866805.0).astype(jnp.int32)
+    # +0.5 rounds to nearest: the biased sum is always positive here, so a
+    # bare int32 cast would floor and add a one-sided bias (ADVICE r4).
+    i = (x * 12102203.0 + 1064866805.5).astype(jnp.int32)
     return jax.lax.bitcast_convert_type(i, jnp.float32)
 
 

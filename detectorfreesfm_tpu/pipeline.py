@@ -238,6 +238,8 @@ def reconstruct_scene(
     if rec is None:
         return None
     os.makedirs(coarse_dir, exist_ok=True)
+    if not coarse_resumed:
+        rec.extract_colors(image_dir)
     rec.write(coarse_dir)
 
     # Refinement (resumable: a completed colmap_refined/ is reused unless the
@@ -290,6 +292,9 @@ def reconstruct_scene(
             im.xys = im.xys * sc[None, :]
             rec.cameras[im.camera_id].rescale(sc[0], sc[1])
     os.makedirs(refined_dir, exist_ok=True)
+    # Refinement merges/completes/filters tracks, so re-extract colors for
+    # the final model (reference refiner runs extract_colors every pass).
+    rec.extract_colors(image_dir)
     rec.write(refined_dir)
     # Viewer-friendly dumps (reference vis3d exports, SURVEY.md §5)
     colmap_io.write_ply(

@@ -165,17 +165,28 @@ class IncrementalMapper:
             i = self.name_to_id[n]
             w, h = image_sizes[n]
             model = self.cfg.camera_model
+            if model not in ("PINHOLE", "SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+                # Fail loudly: an unknown model used to fall into the
+                # PINHOLE 4-param branch while keeping the label, writing
+                # cameras.bin files unreadable by COLMAP and by our own
+                # reader (param count keyed by model id).
+                raise ValueError(f"unsupported camera model {model!r}")
             if intrinsics is not None and n in intrinsics:
                 K = np.asarray(intrinsics[n], np.float64)
                 if model == "SIMPLE_RADIAL":
                     f = 0.5 * (K[0, 0] + K[1, 1])
                     params = np.array([f, K[0, 2], K[1, 2], 0.0])
+                elif model == "SIMPLE_PINHOLE":
+                    f = 0.5 * (K[0, 0] + K[1, 1])
+                    params = np.array([f, K[0, 2], K[1, 2]])
                 else:
                     params = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
             else:
                 f = self.cfg.default_focal_factor * max(w, h)
                 if model == "SIMPLE_RADIAL":
                     params = np.array([f, w / 2.0, h / 2.0, 0.0])
+                elif model == "SIMPLE_PINHOLE":
+                    params = np.array([f, w / 2.0, h / 2.0])
                 else:
                     params = np.array([f, f, w / 2.0, h / 2.0])
                 self.unknown_K.add(i)
@@ -388,7 +399,10 @@ class IncrementalMapper:
                 n_hypotheses=self.cfg.ransac_hypotheses,
             )
             R, t, _n = decompose_homography(
-                hres.H, jnp.asarray(x0), jnp.asarray(x1), hres.inliers
+                hres.H, jnp.asarray(x0), jnp.asarray(x1), hres.inliers,
+                # Full match set: off-plane matches carry the epipolar
+                # signal that disambiguates the two plane solutions.
+                jnp.asarray(mask),
             )
             return (np.asarray(_r2q(R), np.float64),
                     np.asarray(t, np.float64), int(hres.n_inliers))
@@ -719,6 +733,9 @@ class IncrementalMapper:
                     f = 0.5 * (intr2[i, 0] + intr2[i, 1])
                     cam.params = np.array([f, intr2[i, 2], intr2[i, 3],
                                            cam.params[3]])
+                elif cam.model == "SIMPLE_PINHOLE":
+                    f = 0.5 * (intr2[i, 0] + intr2[i, 1])
+                    cam.params = np.array([f, intr2[i, 2], intr2[i, 3]])
                 else:
                     cam.params = np.array([intr2[i, 0], intr2[i, 1],
                                            intr2[i, 2], intr2[i, 3]])

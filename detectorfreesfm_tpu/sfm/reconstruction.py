@@ -245,3 +245,41 @@ class Reconstruction:
     def write(self, path: str, ext: str = ".bin"):
         cams, images, points = self.to_colmap()
         colmap_io.write_model(cams, images, points, path, ext)
+
+    def extract_colors(self, image_dir: str) -> int:
+        """Fill every 3D point's RGB with the median of the image colors at
+        its track's observations (COLMAP `--Mapper.extract_colors`
+        equivalent — the reference refiner always runs it,
+        src/sfm_runner/sfm_model_geometry_refiner.py:36). Host-side: each
+        registered image is decoded once, sampled at its claimed keypoints.
+        Returns the number of points colored."""
+        import os
+
+        from ..data.images import sample_colors
+
+        # pid -> list of (r, g, b) samples across its track
+        samples: Dict[int, list] = {}
+        for im in self.images.values():
+            if not im.registered:
+                continue
+            claimed = np.nonzero(im.point3D_ids >= 0)[0]
+            if len(claimed) == 0:
+                continue
+            path = os.path.join(image_dir, im.name)
+            if not os.path.exists(path):
+                continue
+            try:
+                rgb = sample_colors(path, im.xys[claimed])
+            except Exception:  # noqa: BLE001 — color is best-effort interop
+                continue
+            for kpt, c in zip(claimed, rgb):
+                pid = int(im.point3D_ids[kpt])
+                samples.setdefault(pid, []).append(c)
+        n = 0
+        for pid, cs in samples.items():
+            pt = self.points.get(pid)
+            if pt is None:
+                continue
+            pt["rgb"] = np.median(np.stack(cs), axis=0).astype(np.uint8)
+            n += 1
+        return n

@@ -210,12 +210,39 @@ def estimate_homography_batch(
     )(x0, x1, mask, rngs, thresholds)
 
 
+@geometry_jit()
 def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
-                         mask: jax.Array):
+                         mask: jax.Array, all_mask: jax.Array | None = None):
     """Pose from a normalized-coordinate homography (planar scene):
-    H ~ R + t n^T / d. Returns (R, t_unit, n) of the candidate with the best
-    cheirality support (Malis-Vargas / Faugeras analytic decomposition,
-    the role of COLMAP's PoseFromHomographyMatrix for planar init pairs)."""
+    H ~ R + t n^T / d. Returns (R, t_unit, n) of the best candidate
+    (Malis-Vargas / Faugeras analytic decomposition, the role of COLMAP's
+    PoseFromHomographyMatrix for planar init pairs).
+
+    Candidate selection — this was the round-4 "TPU geometry is broken"
+    failure (scene_0005 AUC@5 0.02 on TPU vs 0.77 on CPU;
+    tools/bisect_geometry_device.py isolated it to this kernel and
+    tools/probe_homography_device.py to this exact mechanism):
+
+    * Cheirality votes over the H-INLIERS (`mask`) cannot separate the two
+      plane solutions — on-plane points have positive depth under BOTH
+      (measured: votes [0, N, N, 0]), and the SVD's per-device-arbitrary
+      eigenvector signs swap which solution comes first in the candidate
+      list, so a bare argmax picked the good one on CPU and the bad one on
+      TPU by luck. Two fixes: eigenvector signs are canonicalized
+      (max-|component| entry positive) so candidate order is deterministic
+      across backends, and vote ties are broken by the capped Sampson error
+      of each candidate's essential matrix over ALL correspondences
+      (`all_mask`, defaulting to `mask`) — off-plane true matches satisfy
+      only the true solution's epipolar geometry, while outliers saturate
+      the cap equally for every candidate.
+    * geometry_jit is LOAD-BEARING for accuracy too: eager on a TPU process
+      the matmuls here (Hn^T Hn, vote reductions) ran in default-precision
+      bf16 passes — a 3e-3 singular-value perturbation that the
+      sqrt(1-s3)/sqrt(s1-1) chain amplifies into 10-18 deg of rotation
+      error. Under HIGHEST precision every decomposition (eigh/svd) is
+      device-parity at f32."""
+    if all_mask is None:
+        all_mask = mask
     U, S, Vt = jnp.linalg.svd(H)
     H_n = H / S[1]                      # normalize so middle singular value=1
     # Resolve the DLT sign ambiguity: projective H and -H are equivalent but
@@ -230,8 +257,18 @@ def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
     # Work in the frame of H_n^T H_n's eigenvectors
     _, S2, V2t = jnp.linalg.svd(H_n.T @ H_n)
     V2 = V2t.T
-    # Ensure right-handed
-    V2 = V2 * jnp.sign(jnp.linalg.det(V2))
+    # Canonicalize eigenvector signs (largest-|component| entry positive):
+    # SVD sign conventions differ between backends, and v1/v3 signs control
+    # which plane solution lands first in the candidate list below.
+    comp = jnp.take_along_axis(
+        V2, jnp.argmax(jnp.abs(V2), axis=0)[None, :], axis=0)[0]
+    V2 = V2 * jnp.where(comp < 0, -1.0, 1.0)[None, :]
+    # Restore right-handedness by flipping v2 only: R below is invariant to
+    # v2's sign (it flips U1/W1 columns 1 and 3 together) and (t, n) just
+    # swaps within the +/- candidate pairs, so the v1/v3 canon is preserved.
+    det_sign = jnp.sign(jnp.linalg.det(V2))
+    V2 = V2 * jnp.stack(
+        [jnp.ones_like(det_sign), det_sign, jnp.ones_like(det_sign)])[None, :]
     s1, s3 = S2[0], S2[2]
     v1, v2, v3 = V2[:, 0], V2[:, 1], V2[:, 2]
     # Degenerate (pure rotation): s1 ~ s3 ~ 1
@@ -261,7 +298,30 @@ def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
                           x0, x1, mask)
         for (R, t, n) in cands
     ])
-    k = jnp.argmax(votes)
+    # Epipolar tie-break over ALL correspondences: each candidate's
+    # E = [t]x R is scored by capped Sampson error — off-plane true matches
+    # separate the two plane solutions that cheirality cannot (they satisfy
+    # only the true epipolar geometry), while outliers hit the cap for
+    # every candidate equally.
+    def _skew(v):
+        zero = jnp.zeros_like(v[0])
+        return jnp.stack([zero, -v[2], v[1],
+                          v[2], zero, -v[0],
+                          -v[1], v[0], zero]).reshape(3, 3)
+
+    cap = 1e-4  # (normalized units)^2; ~4 px at f=1000
+    wa = all_mask.astype(H.dtype)
+    epi = jnp.stack([
+        jnp.sum(jnp.minimum(
+            sampson_error(
+                _skew(t / jnp.maximum(jnp.linalg.norm(t), 1e-12)) @ R,
+                x0, x1), cap) * wa) / jnp.maximum(jnp.sum(wa), 1.0)
+        for (R, t, n) in cands
+    ])
+    # Within 2% of the best vote count => eligible; among those, min error.
+    max_v = jnp.max(votes)
+    eligible = votes >= (max_v.astype(jnp.float32) * 0.98).astype(votes.dtype)
+    k = jnp.argmax(jnp.where(eligible, -epi, -jnp.inf))
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
     ns = jnp.stack([c[2] for c in cands])

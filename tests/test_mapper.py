@@ -120,6 +120,37 @@ def test_incremental_mapping_unknown_intrinsics():
     assert len(rec.points) > 100
 
 
+def test_simple_pinhole_model_roundtrips():
+    """SIMPLE_PINHOLE cameras must carry 3 params ([f, cx, cy]) so written
+    models stay readable — the 4-param PINHOLE layout under a
+    SIMPLE_PINHOLE label corrupted cameras.bin (round-5 fix)."""
+    import tempfile
+
+    from detectorfreesfm_tpu.data import colmap_io
+
+    n_cams = 5
+    pts, K, poses, uvs, visible = _multi_view_scene(n_cams, seed=9)
+    keypoints, matches = _scene_to_matches(n_cams, uvs, visible)
+    sizes = {n: (640, 480) for n in keypoints}
+    cfg = MapperConfig(camera_model="SIMPLE_PINHOLE", refine_focal=True,
+                       abs_pose_min_num_inliers=15)
+    rec = IncrementalMapper(cfg).run(keypoints, matches, sizes, None)
+    assert rec is not None and len(rec.registered_images) >= n_cams - 1
+    for cam in rec.cameras.values():
+        assert cam.model == "SIMPLE_PINHOLE" and len(cam.params) == 3
+    with tempfile.TemporaryDirectory() as d:
+        rec.write(d)
+        cams, imgs, pts3d = colmap_io.read_model(d)
+        assert len(cams) == n_cams and len(pts3d) > 50
+
+    # Unknown models fail loudly instead of writing corrupt params
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported camera model"):
+        IncrementalMapper(MapperConfig(camera_model="OPENCV")).run(
+            keypoints, matches, sizes, None)
+
+
 def test_global_ba_similarity_gauge_beats_full_freeze():
     """Pipeline-level 7-DOF gauge regression (VERDICT r3 #9): after building
     a real reconstruction through the mapper, perturb the SECOND anchor's

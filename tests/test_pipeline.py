@@ -75,6 +75,11 @@ def test_pipeline_from_cached_matches(tmp_path):
     for sub in ("colmap_coarse", "colmap_refined"):
         cams, imgs, pts3d = colmap_io.read_model(str(out_dir / sub))
         assert len(imgs) == 5 and len(pts3d) > 50
+        # Point colors are extracted from the images (COLMAP extract_colors
+        # equivalent), not left at the gray placeholder.
+        rgbs = np.stack([p.rgb for p in pts3d.values()])
+        frac_gray = float((rgbs == 128).all(axis=1).mean())
+        assert frac_gray < 0.5, f"{sub}: {frac_gray:.2f} of points are gray"
     # Pose metrics vs GT (coarse model is geometry-exact; refined ran with
     # untrained weights + loose filter, so just require a sane AUC)
     metrics = evaluate_scene_poses(rec, gt)
