@@ -355,11 +355,23 @@ class IncrementalMapper:
                         rngs, jnp.asarray(thrb), n_hypotheses=n_hyp_h,
                     )
                     nh = np.asarray(resh.n_inliers)
+                    inl_h = np.asarray(resh.inliers)
                     for r, j in enumerate(chunk):
                         k = key_of_job[j]
-                        out[k]["h_ratio"] = float(
-                            nh[r] / max(out[k]["n_inliers"], 1)
-                        )
+                        n_e = out[k]["n_inliers"]
+                        out[k]["h_ratio"] = float(nh[r] / max(n_e, 1))
+                        # COLMAP TwoViewGeometry semantics: a planar /
+                        # pure-rotation pair's inliers come from the
+                        # homography, not the degenerate essential model.
+                        # The 8-point E on such pairs is chaotic — its
+                        # inlier set flips with f32 rounding (the residual
+                        # CPU-vs-TPU divergence on scene_0005), while the
+                        # H-inlier set is stable and more complete.
+                        if (out[k]["h_ratio"] > cfg.planar_h_ratio
+                                and int(nh[r]) >= n_e):
+                            m = jobs[j][4]
+                            out[k]["matches"] = m[inl_h[r, : len(m)]]
+                            out[k]["n_inliers"] = int(nh[r])
         return out
 
     def _twoview_pose(self, rec: Reconstruction, ia: int, ib: int,
