@@ -34,8 +34,14 @@ def pair_cell_assignment(
     the img1 cell index of its warp target, or -1."""
     h, w = depth0.shape
     h8, w8 = h // grid, w // grid
-    ys = (jnp.arange(h8, dtype=jnp.float32) + 0.5) * grid
-    xs = (jnp.arange(w8, dtype=jnp.float32) + 0.5) * grid
+    # Source points are the GRID POINTS the matcher actually reports as
+    # keypoints (cell * grid, models/loftr.py to_xy) — NOT cell centers.
+    # Round-4 measured the fine head DEGRADING coordinates; one cause was
+    # supervising the warp of centers (c+0.5)*8 while inference pairs the
+    # fine delta with the corner keypoint 8c: a locally-smooth warp turns
+    # that half-cell source offset into a systematic ~4 px target bias.
+    ys = jnp.arange(h8, dtype=jnp.float32) * grid
+    xs = jnp.arange(w8, dtype=jnp.float32) * grid
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
     pts = jnp.stack([gx, gy], -1).reshape(-1, 2)            # (L, 2)
 
@@ -80,8 +86,15 @@ def pair_cell_assignment(
     ) + jnp.array([K0[0, 2], K0[1, 2]])
     ok &= jnp.linalg.norm(uv0b - pts, axis=-1) < cycle_thr_px
 
-    cell_x = jnp.clip((uv1[..., 0] // grid).astype(jnp.int32), 0, w8 - 1)
-    cell_y = jnp.clip((uv1[..., 1] // grid).astype(jnp.int32), 0, h8 - 1)
+    # NEAREST grid point (reference spvs_coarse rounds w_pt / 8), not floor:
+    # with floor the sub-cell residual lives in [0, grid) while the fine
+    # window inference runs is CENTERED on the grid point with reach
+    # +/- grid/2 — half the true offsets were unreachable and the training
+    # mask |off| < 1 silently dropped most supervision.
+    cell_x = jnp.clip(
+        jnp.floor(uv1[..., 0] / grid + 0.5).astype(jnp.int32), 0, w8 - 1)
+    cell_y = jnp.clip(
+        jnp.floor(uv1[..., 1] / grid + 0.5).astype(jnp.int32), 0, h8 - 1)
     gt = cell_y * w8 + cell_x
     # Also return the CONTINUOUS warp target — the fine-stage GT (the
     # reference's spvs_fine supervises the sub-cell residual of this warp,

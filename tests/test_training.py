@@ -210,18 +210,22 @@ def test_pair_cell_assignment_planar():
     )
     gt, uv1 = np.asarray(gt), np.asarray(uv1)
     assert gt.shape == (64,)
-    # Continuous warp target lands inside its assigned cell
+    # Continuous warp target's NEAREST grid point is the assigned cell
+    # (round-5 convention: inference fine windows are centered on the grid
+    # point with +/- grid/2 reach, so assignment must round, not floor)
     for cell in np.flatnonzero(gt >= 0)[:12]:
         cx, cy = uv1[cell]
-        assert int(cy // 8) * 8 + int(cx // 8) == gt[cell]
+        gx, gy = gt[cell] % 8, gt[cell] // 8
+        assert abs(cx - gx * 8) <= 4.0 + 1e-3 and abs(cy - gy * 8) <= 4.0 + 1e-3
     matched = gt >= 0
     assert matched.sum() > 10, matched.sum()
     K = tup["K"][0].astype(np.float64)
     R0 = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][0])), np.float64)
     R1 = np.asarray(quat_to_rotmat(jnp.asarray(tup["qvec"][1])), np.float64)
     for cell in np.flatnonzero(matched)[:12]:
-        cx = (cell % 8 + 0.5) * 8
-        cy = (cell // 8 + 0.5) * 8
+        # round-5 convention: source points are the reported grid points
+        cx = (cell % 8) * 8
+        cy = (cell // 8) * 8
         d = tup["depths"][0][int(cy), int(cx)]
         xc = np.array([(cx - K[0, 2]) / K[0, 0] * d,
                        (cy - K[1, 2]) / K[1, 1] * d, d])
