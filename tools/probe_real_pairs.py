@@ -81,8 +81,15 @@ def main():
         out = fwd(params, jnp.asarray(li0.data)[None, :, :, None],
                   jnp.asarray(li1.data)[None, :, :, None])
         valid = np.asarray(out.valid[0])
-        uv0 = np.asarray(out.coords0[0], np.float64) * li0.scale[None, :]
-        uv1 = np.asarray(out.coords1[0], np.float64) * li1.scale[None, :]
+        # -> original pixels, then into the 640x480 frame the published
+        # ScanNet eval intrinsics are calibrated for (the asset JPEGs are
+        # the raw 1296x968 color frames).
+        s0 = li0.scale * np.array([640.0, 480.0]) / np.array(li0.orig_size,
+                                                            np.float64)
+        s1 = li1.scale * np.array([640.0, 480.0]) / np.array(li1.orig_size,
+                                                             np.float64)
+        uv0 = np.asarray(out.coords0[0], np.float64) * s0[None, :]
+        uv1 = np.asarray(out.coords1[0], np.float64) * s1[None, :]
         n = int(valid.sum())
         if n < 16:
             errs.append((180.0, 180.0, n))
