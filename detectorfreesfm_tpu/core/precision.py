@@ -1,22 +1,35 @@
 """Matmul-precision and device-placement control for geometry code.
 
 Precision: the axon TPU runs f32 matmuls as bf16 passes by default;
-geometry estimation (8-point/DLT normal matrices, Gauss-Newton steps,
+geometry estimation (8-point/DLT design matrices, Gauss-Newton steps,
 Schur reductions) visibly loses registrations/convergence at bf16.
 Wrapping the to-be-jitted function forces HIGHEST precision for every dot
 traced inside, while neural nets elsewhere keep the fast default.
 
-Placement: on single-chip TPU runs the geometry kernels additionally hop
-to the HOST CPU backend (round-4 measurement: the same cached matches
-through the same mapper give coarse AUC@5 0.77 on CPU vs 0.03 through the
-TPU path on a planar-degenerate scene — f32 eigh/iterative decompositions
-on ill-conditioned normal matrices are far less accurate on TPU than
-LAPACK, and no matmul-precision flag fixes that). These are small-matrix
-batched ops that also pay ~10-30 ms tunnel latency per dispatch on TPU —
-CPU is both the accurate and the fast home. Neural forwards (matcher,
-refiner) stay on TPU. Opt out with DFSFM_GEOMETRY_DEVICE=accel, and the
-mesh-sharded BA path keeps its explicit TPU shardings via
-keep_geometry_on_default_device().
+Placement (round-5 policy). Accuracy no longer forces a device: round 5
+root-caused and fixed the round-4 TPU-geometry failures (see
+sfm/twoview.py — eager-bf16 homography decomposition, cheirality-tied
+plane solutions, eigh-of-normal-matrix solvers) and the 10-scene parity
+sweep shows CPU == accel AUC (tools/parity_sweep.py, RESULTS_r05.md §1).
+Placement is now purely a PERFORMANCE choice, measured per kernel class
+(tools/bench_geometry_placement.py, one chip over the axon tunnel):
+
+  * batched RANSAC sweeps      accel 0.11-0.12x of CPU time  -> accel
+  * batched DLT triangulation  accel 0.35-0.44x              -> accel
+  * bundle_adjust LM loop      accel 2.7x at C=50, 0.65x at C=300
+    (host-driven iteration: dispatch latency dominates small problems)
+
+DFSFM_GEOMETRY_DEVICE modes:
+  "auto" (default) — batch kernels (*_batch, triangulate_dlt) on the
+      accelerator; host-latency-bound kernels (single-pair solves, BA LM
+      steps) on host CPU unless the BA driver signals a large problem via
+      prefer_accelerator_geometry() (C >= ~150: the Schur solve amortizes
+      the dispatches).
+  "cpu"   — everything on host CPU (old round-4 behavior).
+  "accel" — everything on the accelerator.
+The mesh-sharded BA path keeps its explicit TPU shardings via
+keep_geometry_on_default_device(); DFSFM_GEOMETRY_ACCEL_ONLY=<names>
+moves an explicit kernel list to the accelerator (bisection tool).
 """
 
 from __future__ import annotations
@@ -43,8 +56,33 @@ def keep_geometry_on_default_device():
         _tls.no_cpu_hop = prev
 
 
+@contextlib.contextmanager
+def prefer_accelerator_geometry(enable: bool = True):
+    """Hint from a host driver (bundle_adjust) that the upcoming geometry
+    work is large enough to amortize accelerator dispatch latency — in
+    "auto" mode the wrapped kernels then stay on the default device."""
+    prev = getattr(_tls, "prefer_accel", False)
+    _tls.prefer_accel = bool(enable)
+    try:
+        yield
+    finally:
+        _tls.prefer_accel = prev
+
+
+# Kernels whose batched shape profile measured faster on the accelerator at
+# every realistic size (tools/bench_geometry_placement.py) — "auto" mode
+# keeps these on the default device.
+_BATCH_KERNELS = frozenset({
+    "estimate_relative_pose_batch",
+    "estimate_homography_batch",
+    "estimate_absolute_pose_batch",
+    "triangulate_dlt",
+})
+
+
 def _geometry_device_ctx(name: str | None = None):
-    if os.environ.get("DFSFM_GEOMETRY_DEVICE", "cpu") != "cpu":
+    mode = os.environ.get("DFSFM_GEOMETRY_DEVICE", "auto")
+    if mode not in ("cpu", "auto"):
         return contextlib.nullcontext()
     # Per-kernel bisection/override: comma-separated kernel names that stay
     # on the accelerator while everything else hops (diagnostic tool for
@@ -53,6 +91,10 @@ def _geometry_device_ctx(name: str | None = None):
     if accel_only and name is not None and name in {
         s.strip() for s in accel_only.split(",")
     }:
+        return contextlib.nullcontext()
+    if mode == "auto" and (
+        name in _BATCH_KERNELS or getattr(_tls, "prefer_accel", False)
+    ):
         return contextlib.nullcontext()
     if getattr(_tls, "no_cpu_hop", False):
         return contextlib.nullcontext()

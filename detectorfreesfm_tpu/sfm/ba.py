@@ -547,16 +547,26 @@ def bundle_adjust(
     dt = np.float32
     # Placement: mesh path keeps its explicit TPU shardings (flag below
     # stops the geometry decorator's CPU hop); single-device path creates
-    # the problem directly on the geometry device (host CPU on TPU
-    # processes — see core/precision.py) so the LM state never bounces
-    # over the tunnel between iterations.
+    # the problem directly on the geometry device so the LM state never
+    # bounces between devices across iterations. In "auto" mode the device
+    # is chosen by problem size: the host-driven LM loop is dispatch-
+    # latency-bound on small problems (accel 2.7x slower at C=50) but the
+    # Schur solve amortizes past ~150 cameras (0.65x at C=300) —
+    # tools/bench_geometry_placement.py.
     from ..core.precision import (
         _geometry_device_ctx, keep_geometry_on_default_device,
+        prefer_accelerator_geometry,
     )
+    import contextlib as _ctx
 
-    _place = (keep_geometry_on_default_device() if mesh is not None
-              else _geometry_device_ctx())
-    with _place:
+    _stack = _ctx.ExitStack()
+    if mesh is not None:
+        _stack.enter_context(keep_geometry_on_default_device())
+    else:
+        if C >= 150:
+            _stack.enter_context(prefer_accelerator_geometry())
+        _stack.enter_context(_geometry_device_ctx())
+    with _stack:
         prob = BAProblem(
             cam_R=jnp.asarray(R_all, dt),
             cam_t=jnp.asarray(t_n, dt),
