@@ -302,12 +302,28 @@ def cmd_eval_dataset(args) -> int:
             cmd = [sys.executable, "-m", "detectorfreesfm_tpu.cli",
                    "reconstruct", "--output", ns.output,
                    "--args-json", args_path]
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=7200)
-            if out.returncode != 0:
-                return {"status": "failed",
-                        "error": out.stderr[-500:] or f"rc={out.returncode}"}
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            # One retry on timeout/failure: the TPU relay occasionally
+            # wedges a connection mid-scene (a dispatch blocks forever in
+            # tcp_recvmsg) — stage artifacts persist, so the retry resumes
+            # from the last completed stage instead of redoing the scene.
+            timeout_s = getattr(args, "scene_timeout", None) or 7200
+            last_err = None
+            for attempt in range(2):
+                try:
+                    out = subprocess.run(cmd, capture_output=True,
+                                         text=True, timeout=timeout_s)
+                except subprocess.TimeoutExpired:
+                    last_err = f"timeout after {timeout_s}s"
+                    print(f"scene {s}: {last_err} (attempt {attempt})",
+                          file=sys.stderr)
+                    continue
+                if out.returncode != 0:
+                    last_err = out.stderr[-500:] or f"rc={out.returncode}"
+                    print(f"scene {s}: failed attempt {attempt}",
+                          file=sys.stderr)
+                    continue
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            return {"status": "failed", "error": last_err}
         return _run_scene(ns)
 
     run_eval_scenes(
@@ -598,6 +614,13 @@ def main(argv=None) -> int:
                     help="run each scene in a subprocess so native crashes"
                          " or OOMs kill only that scene (reference Ray-"
                          "worker isolation)")
+    se.add_argument("--scene-timeout", type=int, default=None,
+                    dest="scene_timeout",
+                    help="per-scene wall limit (s) for --isolate-scenes; "
+                         "a timed-out or failed scene is retried ONCE, "
+                         "resuming from its persisted stage artifacts "
+                         "(guards against wedged accelerator-relay "
+                         "connections). Default 7200.")
     se.add_argument("--imc-bags", action="store_true", dest="imc_bags",
                     help="group metrics by IMC Nbag markers in scene names")
     add_common(se)
