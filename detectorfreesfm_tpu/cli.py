@@ -317,12 +317,17 @@ def cmd_eval_dataset(args) -> int:
                     print(f"scene {s}: {last_err} (attempt {attempt})",
                           file=sys.stderr)
                     continue
+                # A clean structured result (even status=failed) is a
+                # DETERMINISTIC outcome — report it, don't re-run the
+                # scene. Retry only crashes/unparseable output.
+                try:
+                    return json.loads(out.stdout.strip().splitlines()[-1])
+                except (ValueError, IndexError):
+                    pass
+                last_err = out.stderr[-500:] or f"rc={out.returncode}"
                 if out.returncode != 0:
-                    last_err = out.stderr[-500:] or f"rc={out.returncode}"
-                    print(f"scene {s}: failed attempt {attempt}",
+                    print(f"scene {s}: crashed attempt {attempt}",
                           file=sys.stderr)
-                    continue
-                return json.loads(out.stdout.strip().splitlines()[-1])
             return {"status": "failed", "error": last_err}
         return _run_scene(ns)
 

@@ -350,15 +350,25 @@ def read_model(path: str, ext: str | None = None):
 
 
 def write_model(cameras, images, points3D, path: str, ext: str = ".bin") -> None:
+    """Write a model ATOMICALLY: each file goes to a .tmp sibling and is
+    os.replace'd into place, so a process killed mid-write (scene-timeout
+    SIGKILL, OOM) can never leave a truncated cameras/images/points3D file
+    that a resuming run would mistake for a completed stage."""
     os.makedirs(path, exist_ok=True)
-    if ext == ".bin":
-        write_cameras_binary(cameras, os.path.join(path, "cameras.bin"))
-        write_images_binary(images, os.path.join(path, "images.bin"))
-        write_points3D_binary(points3D, os.path.join(path, "points3D.bin"))
-    else:
-        write_cameras_text(cameras, os.path.join(path, "cameras.txt"))
-        write_images_text(images, os.path.join(path, "images.txt"))
-        write_points3D_text(points3D, os.path.join(path, "points3D.txt"))
+    writers = (
+        (write_cameras_binary, "cameras.bin"),
+        (write_images_binary, "images.bin"),
+        (write_points3D_binary, "points3D.bin"),
+    ) if ext == ".bin" else (
+        (write_cameras_text, "cameras.txt"),
+        (write_images_text, "images.txt"),
+        (write_points3D_text, "points3D.txt"),
+    )
+    data = (cameras, images, points3D)
+    for (fn, name), d in zip(writers, data):
+        tmp = os.path.join(path, name + ".tmp")
+        fn(d, tmp)
+        os.replace(tmp, os.path.join(path, name))
 
 
 def write_ply(points3D: Dict[int, Point3D], path: str) -> None:

@@ -24,12 +24,20 @@ def _unescape(k: str) -> str:
 
 
 def save_h5(d: Dict[str, np.ndarray], path: str) -> None:
+    """Atomic write (tmp + os.replace): a kill mid-write must not leave a
+    truncated artifact that a resuming run treats as a completed stage."""
+    import os
+
     if not HAS_H5PY:
-        np.savez(path + ".npz", **{_escape(k): v for k, v in d.items()})
+        np.savez(path + ".npz.tmp", **{_escape(k): v for k, v in d.items()})
+        # np.savez appends .npz to names without it
+        os.replace(path + ".npz.tmp.npz", path + ".npz")
         return
-    with h5py.File(path, "w") as f:
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
         for k, v in d.items():
             f.create_dataset(_escape(k), data=np.asarray(v))
+    os.replace(tmp, path)
 
 
 def load_h5(path: str) -> Dict[str, np.ndarray]:

@@ -355,8 +355,10 @@ def decompose_homography(H: jax.Array, x0: jax.Array, x1: jax.Array,
         for (R, t, n) in cands
     ])
     # Within 2% of the best vote count => eligible; among those, min error.
+    # Compare in FLOAT: flooring 0.98*max_v to int made candidates with up
+    # to ~10-20% fewer votes eligible at small inlier counts (review r5).
     max_v = jnp.max(votes)
-    eligible = votes >= (max_v.astype(jnp.float32) * 0.98).astype(votes.dtype)
+    eligible = votes.astype(jnp.float32) >= max_v.astype(jnp.float32) * 0.98
     k = jnp.argmax(jnp.where(eligible, -epi, -jnp.inf))
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])

@@ -36,21 +36,11 @@ def _ensure_accel():
 
 
 def load_scene(out_dir, scene_dir):
-    from detectorfreesfm_tpu.data.h5io import load_h5
-    from detectorfreesfm_tpu.pipeline import read_intrin_txt, read_pose_txt
+    """Cached-scene loading, delegated to the sweep tool's loader so the
+    artifact contract lives in ONE place (review r5)."""
+    from tools.sweep_mapper_robustness import load_scene as _ls
 
-    kps = load_h5(os.path.join(out_dir, "keypoints.h5"))
-    raw = load_h5(os.path.join(out_dir, "matches.h5"))
-    matches = {
-        tuple(k.split("|")): np.asarray(v, np.int64) for k, v in raw.items()
-    }
-    intr, gt = {}, {}
-    for f in sorted(os.listdir(os.path.join(scene_dir, "intrins"))):
-        stem = os.path.splitext(f)[0]
-        intr[stem + ".png"] = read_intrin_txt(
-            os.path.join(scene_dir, "intrins", f))
-        gt[stem] = read_pose_txt(os.path.join(scene_dir, "poses", f))
-    kps = {n: np.asarray(v) for n, v in kps.items()}
+    kps, matches, _sizes, intr, gt = _ls(out_dir, scene_dir)
     return kps, matches, intr, gt
 
 
