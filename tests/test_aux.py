@@ -141,3 +141,37 @@ def test_export_ply(tmp_path):
     data = open(p, "rb").read()
     assert data.startswith(b"ply")
     assert b"element vertex 11" in data  # 1 point + 2 cams x (1 + 4 corners)
+
+
+def test_geometry_placement_policy(monkeypatch):
+    """'auto' keeps batch kernels on the default device, hops the rest to
+    CPU on accelerator processes, and honors the BA size hint + overrides
+    (round-5 placement policy, core/precision.py)."""
+    import contextlib
+
+    from detectorfreesfm_tpu.core import precision as P
+
+    def ctx_is_null(name):
+        return isinstance(P._geometry_device_ctx(name), contextlib.nullcontext)
+
+    # On this CPU test process every ctx is null (no hop needed) — exercise
+    # the decision logic by faking an accelerator default backend.
+    monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.delenv("DFSFM_GEOMETRY_DEVICE", raising=False)
+    assert ctx_is_null("estimate_relative_pose_batch")   # batch -> accel
+    assert ctx_is_null("triangulate_dlt")
+    assert not ctx_is_null("lm_step")                    # LM -> host
+    assert not ctx_is_null("decompose_homography")
+    with P.prefer_accelerator_geometry():                # BA size hint
+        assert ctx_is_null("lm_step")
+    assert not ctx_is_null("lm_step")
+
+    monkeypatch.setenv("DFSFM_GEOMETRY_DEVICE", "accel")
+    assert ctx_is_null("lm_step")
+
+    monkeypatch.setenv("DFSFM_GEOMETRY_DEVICE", "cpu")
+    assert not ctx_is_null("estimate_relative_pose_batch")
+    monkeypatch.setenv("DFSFM_GEOMETRY_ACCEL_ONLY", "lm_step")
+    assert ctx_is_null("lm_step")                        # bisection override
+    assert not ctx_is_null("triangulate_dlt")
