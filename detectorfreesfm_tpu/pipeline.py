@@ -37,6 +37,10 @@ from .sfm.reconstruction import Reconstruction, RImage
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff")
 
+# Process-wide matcher-engine cache (see reconstruct_scene): dataset evals
+# call reconstruct_scene once per scene with the same params/config.
+_ENGINE_CACHE: dict = {}
+
 
 @dataclasses.dataclass
 class PipelineConfig:
@@ -196,9 +200,20 @@ def reconstruct_scene(
 
     engine = None
     if matcher_params is not None:
-        engine = PairMatchingEngine(
-            cfg.engine_config(), params=matcher_params
-        )
+        # Engine reuse across scenes (same config + params): a fresh engine
+        # per scene re-jits the matcher forward, and even with the
+        # persistent XLA cache the executable reload over the TPU tunnel
+        # costs tens of seconds per scene — measured as the bulk of the
+        # 41.6 s median match stage in the round-5 eval. Keyed by identity
+        # of the params tree + the engine config.
+        key = (id(matcher_params), cfg.engine_config())
+        engine = _ENGINE_CACHE.get(key)
+        if engine is None:
+            engine = PairMatchingEngine(
+                cfg.engine_config(), params=matcher_params
+            )
+            _ENGINE_CACHE.clear()  # one live engine: params are device-resident
+            _ENGINE_CACHE[key] = engine
     keypoints, match_indices = _match_stage(
         cfg, image_dir, names, output_dir, engine
     )
