@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--img-resize", type=int, default=640)
     ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument("--ransac-px", type=float, default=1.0,
+                    help="RANSAC inlier threshold in 640x480-frame pixels."
+                         " The synthetic-eval default (1 px) assumes"
+                         " sub-pixel matches; on noisier real matches a"
+                         " tight threshold collapses the inlier set and"
+                         " MSAC converges to arbitrary models")
     args = ap.parse_args()
 
     import jax
@@ -100,19 +106,25 @@ def main():
                                          jnp.asarray(K, jnp.float32)))
         res = estimate_relative_pose(
             jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(valid),
-            jax.random.PRNGKey(0), 1.0 / float(K[0, 0]))
+            jax.random.PRNGKey(0), args.ransac_px / float(K[0, 0]))
         R_est = np_quat_to_rotmat(np.asarray(res.qvec))
         t_est = np.asarray(res.tvec, np.float64)
         R_gt, t_gt = T[:, :3], T[:, 3]
+        # Match quality independent of the pose estimator: median Sampson
+        # epipolar error of the matches under the GT pose (px in the
+        # 640x480 frame). This is the number that separates "the matcher
+        # degrades on real data" from "RANSAC failed".
+        gt_epi = _median_sampson_px(uv0[valid], uv1[valid], K,
+                                    R_gt, t_gt, np)
         tn = t_gt / max(np.linalg.norm(t_gt), 1e-12)
         r_err = np.degrees(np.arccos(np.clip(
             (np.trace(R_est.T @ R_gt) - 1) / 2, -1, 1)))
         t_err = np.degrees(np.arccos(np.clip(abs(float(t_est @ tn)), 0, 1)))
-        errs.append((r_err, t_err, n))
+        errs.append((r_err, t_err, n, gt_epi))
         print(f"{os.path.basename(p0)[:24]}: R {r_err:6.2f} deg  "
-              f"t {t_err:6.2f} deg  matches {n}")
+              f"t {t_err:6.2f} deg  matches {n}  gt-epi {gt_epi:6.2f} px")
 
-    e = np.array([[max(r, t)] for r, t, _ in errs])
+    e = np.array([[max(r, t)] for r, t, _, _ in errs])
     for thr in (5, 10, 20):
         # standard pose AUC over the pair set
         xs = np.linspace(0, thr, 101)
@@ -120,7 +132,21 @@ def main():
         auc = float(np.trapezoid(rec, xs) / thr)
         print(f"pose AUC@{thr}: {auc:.3f}")
     print(f"median max-err: {float(np.median(e)):.2f} deg  "
-          f"matches med {int(np.median([n for _, _, n in errs]))}")
+          f"matches med {int(np.median([n for _, _, n, _ in errs]))}  "
+          f"gt-epi med {float(np.median([g for _, _, _, g in errs])):.2f} px")
+
+
+def _median_sampson_px(uv0, uv1, K, R, t, np):
+    Ki = np.linalg.inv(K)
+    x0 = (Ki @ np.c_[uv0, np.ones(len(uv0))].T).T
+    x1 = (Ki @ np.c_[uv1, np.ones(len(uv1))].T).T
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+    Ex0, Etx1 = x0 @ E.T, x1 @ E
+    num = np.abs(np.sum(x1 * Ex0, 1))
+    den = np.sqrt(Ex0[:, 0] ** 2 + Ex0[:, 1] ** 2
+                  + Etx1[:, 0] ** 2 + Etx1[:, 1] ** 2)
+    return float(np.median(num / np.maximum(den, 1e-12)) * K[0, 0])
 
 
 if __name__ == "__main__":
